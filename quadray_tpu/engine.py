@@ -1,0 +1,106 @@
+"""Engine facade: Platform + Scene — the user-level API.
+
+Analog of rt_Platform (engine.h:79-156) and rt_Scene (engine.h:229-362)
+minus everything the TPU stack subsumes: no thread pool (SPMD jit dispatch),
+no SIMD target switching (XLA targets the chip), no tilebuffer (brute-force
+masks), no per-frame heap (XLA buffers). What remains is the real API
+surface: scene management, per-frame update (animators -> scene recompile),
+render, fsaa/opt toggles, frame save and state dump.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadray_tpu.scene import schema as S
+from quadray_tpu.scene.compile import compile_scene, SceneArrays
+from quadray_tpu.ops.trace import TraceConfig, render as _render, to_frame
+
+
+class Platform:
+    """Owns global config (fsaa, depth) and the scene list
+    (rt_Platform, engine.cpp:512-798)."""
+
+    def __init__(self, fsaa: int = 1, depth: int = 10):
+        self.fsaa = fsaa
+        self.depth = depth
+        self.scenes = []
+
+    def add(self, scene: "Scene"):
+        self.scenes.append(scene)
+        return scene
+
+    def set_fsaa(self, fsaa: int):
+        assert fsaa in (1, 2, 4)
+        self.fsaa = fsaa
+
+
+class Scene:
+    """A scene instance bound to a framebuffer size (rt_Scene analog)."""
+
+    def __init__(self, sdef: S.SceneDef, width: int, height: int,
+                 pfm: Optional[Platform] = None, cam_index: int = 0):
+        self.sdef = sdef
+        self.width = width
+        self.height = height
+        self.pfm = pfm or Platform()
+        self.cam_index = cam_index
+        self.opts = sdef.opts
+        self._arrays: Optional[SceneArrays] = None
+        self._time = 0.0
+        self.frame = np.zeros((height, width, 3), np.uint8)
+
+    # -- update pipeline (phase 0.5-3 analog: recompile scene at time t)
+    def update(self, t: float = 0.0):
+        self._time = t
+        self._arrays = compile_scene(
+            S.SceneDef(root=self.sdef.root, opts=self.opts), time=t,
+            cam_index=self.cam_index)
+        return self._arrays
+
+    @property
+    def arrays(self) -> SceneArrays:
+        if self._arrays is None:
+            self.update(self._time)
+        return self._arrays
+
+    def render(self, t: Optional[float] = None) -> np.ndarray:
+        """Render a frame at time t; returns (H, W, 3) uint8."""
+        if t is not None or self._arrays is None:
+            self.update(t if t is not None else self._time)
+        sc = self.arrays
+        cfg = TraceConfig(depth=self.pfm.depth)
+        img = _render(sc, self.width, self.height, self.pfm.fsaa, cfg)
+        self.frame = np.asarray(to_frame(img, sc.use_gamma))
+        return self.frame
+
+    def render_linear(self, t: Optional[float] = None) -> jnp.ndarray:
+        if t is not None or self._arrays is None:
+            self.update(t if t is not None else self._time)
+        cfg = TraceConfig(depth=self.pfm.depth)
+        return _render(self.arrays, self.width, self.height, self.pfm.fsaa,
+                       cfg)
+
+    def save_frame(self, path: str):
+        from quadray_tpu.utils.image import save_bmp
+        save_bmp(path, self.frame)
+
+    def set_opts(self, opts: int):
+        self.opts = opts
+        self._arrays = None
+
+    def print_state(self, log=print):
+        """State dump for reproduction (print_state analog,
+        engine.cpp:47-418)."""
+        sc = self.arrays
+        log(f"scene {self.width}x{self.height} t={self._time}")
+        for k in ("s_tag", "s_pos", "s_sci", "s_scjh", "s_sciw"):
+            log(f"{k} = {np.asarray(getattr(sc, k))!r}")
+        for k in ("l_pos", "l_col", "cam_pos", "cam_hor", "cam_ver",
+                  "cam_nrm"):
+            log(f"{k} = {np.asarray(getattr(sc, k))!r}")

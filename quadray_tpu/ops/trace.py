@@ -1,0 +1,469 @@
+"""Whitted ray tracer — pure-jnp reference implementation.
+
+This is the semantic core of the framework: the TPU-native re-design of the
+reference's render0 megakernel (tracer.cpp:1081-5405). Key transfers:
+
+  * SIMD ray packet (4-16 lanes) -> flat lane dim of N rays (whole frame or
+    tile); WMASK/TMASK divergence masks -> boolean arrays + jnp.where.
+  * per-object rt_ELEM list walk -> dense broadcast over the padded surface
+    axis NS (brute force; SURVEY.md §2.7 row "work culling").
+  * unified quadric solver with stable b-mixed Vieta roots
+    (tracer.cpp:4378-4547): here F(p) = sci.p^2 - 2 scjh.p - sciw in the
+    canonical frame, roots of a t^2 + 2 b t + c via q = -(b + sign(b)sqrt(d)).
+  * recursion context stack (RT_STACK_STEP push/pop, tracer.cpp:664-665)
+    -> iterative loop with a per-lane branch stack: each bounce continues
+    with one branch (reflection) and pushes the other (refraction) with its
+    throughput; contributions are linear so the result is identical.
+  * CHECK_SIDE exact self-intersection skip (tracer.cpp:523-540): a
+    secondary ray from surface s side d can re-hit s only on side d when
+    reflected (PASS_BACK) and only on side 1-d when refracted (PASS_THRU);
+    no epsilon offsets anywhere.
+  * custom clipping with boolean accum segments (CC_clp/CC_acc,
+    tracer.cpp:1929-2160): fixed-width clip programs with ENTER/LEAVE ops.
+  * hard shadows via any-hit pass over the surface axis with the reference's
+    blocker rule (CHECK_SHAD, tracer.cpp:549-589): emissive surfaces and
+    unbent fully-transparent surfaces don't block.
+  * lights: ambient/diffuse/specular with 1/sqrt(cnt + lnr r + qdr r^2)
+    attenuation and metal/plain blending (tracer.cpp:2709-3180).
+  * Fresnel: exact dielectric reflectance + TIR transfer trn->rfl
+    (tracer.cpp:3280-3424); Schlick available as an option.
+
+The Pallas megakernel (ops/pallas_kernel.py) implements the same math with
+explicit VMEM tiling; this module is the "reference target" the kernels are
+differentially tested against, and the default differentiable path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quadray_tpu.scene.compile import (
+    SceneArrays, PROP_LIGHT, PROP_METAL, PROP_OPAQUE, PROP_REFLECT,
+    PROP_REFRACT, PROP_DIFFUSE, PROP_SPECULAR, PROP_TEXTURE, PROP_GAMMA,
+    PROP_FRESNEL, PROP_TRANSP, CLIP_SURF, CLIP_ENTER, CLIP_LEAVE)
+
+F32 = jnp.float32
+I32 = jnp.int32
+BIG = jnp.float32(1e30)
+
+
+class TraceConfig(NamedTuple):
+    depth: int = 10          # RT_STACK_DEPTH (tracer.h:46)
+    max_segments: int = 48   # iteration cap for the branch-stack loop
+    stack: int = 10          # branch-stack capacity per lane
+    cutoff: float = 1.0 / 1024.0  # throughput cutoff for continuations
+    d_eps: float = 0.0       # determinant epsilon (srf_D_EPS analog)
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def _eval_implicit(kind, sci, scjh, sciw, p):
+    """F(p) per surface kind: plane -> p_k; quadric -> sci.p^2-2 scjh.p-sciw.
+    Shapes: kind (...,), sci/scjh (..., 3), sciw (...,), p (..., 3)."""
+    quad = (jnp.sum(sci * p * p, -1) - 2.0 * jnp.sum(scjh * p, -1) - sciw)
+    return jnp.where(kind == 1, p[..., 2], quad)
+
+
+def _safe_div(num, den, fallback=BIG):
+    bad = jnp.abs(den) < 1e-30
+    return jnp.where(bad, fallback, num / jnp.where(bad, 1.0, den))
+
+
+def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
+              origin_srf, origin_side, pass_thru,
+              shadow: bool = False):
+    """Nearest valid hit over all surfaces.
+
+    org/dirs (N,3); t_min/t_max (N,); origin_srf (N,) i32 (-1 none);
+    origin_side (N,) i32 (+1 outer/-1 inner); pass_thru (N,) bool.
+
+    Returns dict with t (N,), srf (N,) i32 (-1 miss), side (N,) i32,
+    x (N,3) world hit, p (N,3) local hit, n (N,3) unit shading normal
+    (facing the incoming ray), hit (N,) bool.
+    When ``shadow`` is True, only surfaces that block light are considered
+    (CHECK_SHAD rule) and the cheapest any-hit result is returned.
+    """
+    NS = sc.s_pos.shape[0]
+    # world->canonical: o_l, d_l (N, NS, 3)
+    rel = org[:, None, :] - sc.s_pos[None, :, :]
+    o_l = jnp.einsum('sij,nsj->nsi', sc.s_inv, rel)
+    d_l = jnp.einsum('sij,nj->nsi', sc.s_inv, dirs)
+
+    sci = sc.s_sci[None, :, :]
+    scjh = sc.s_scjh[None, :, :]
+    kind = sc.s_kind[None, :]                       # (1, NS)
+
+    # quadric: F(o + t d) = a t^2 + 2 b t + c (tracer.cpp:4388-4447)
+    a = jnp.sum(sci * d_l * d_l, -1)
+    b = jnp.sum((sci * o_l - scjh) * d_l, -1)
+    c = _eval_implicit(kind, sci, scjh, sc.s_sciw[None, :], o_l)
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # stable b-mixed roots (tracer.cpp:4518-4547): q = -(b + sign(b) sq)
+    sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
+    q = -(b + sgn_b * sq)
+    r1 = _safe_div(q, a)
+    r2 = _safe_div(c, q)
+    quad_ok = disc >= 0.0
+
+    # plane: t = -o_k / d_k (tracer.cpp:4062-4210 in axis-mapped frame)
+    t_pl = _safe_div(-o_l[..., 2], d_l[..., 2])
+
+    is_plane = kind == 1
+    root_a = jnp.where(is_plane, t_pl, jnp.where(quad_ok, r1, BIG))
+    root_b = jnp.where(is_plane, BIG, jnp.where(quad_ok, r2, BIG))
+    roots = jnp.stack([root_a, root_b], axis=-1)     # (N, NS, 2)
+
+    # local + world hit points per root
+    p_r = o_l[:, :, None, :] + roots[..., None] * d_l[:, :, None, :]
+    x_r = org[:, None, None, :] + roots[..., None] * dirs[:, None, None, :]
+
+    # side per root: gradient g = sci p - scjh (plane: +K); the ray hits the
+    # outer side iff it travels against the gradient (d.g < 0)
+    g_r = jnp.where(is_plane[..., None, None],
+                    jnp.array([0.0, 0.0, 1.0], F32),
+                    sci[:, :, None, :] * p_r - scjh[:, :, None, :])
+    ddotg = jnp.sum(d_l[:, :, None, :] * g_r, -1)
+    side_r = jnp.where(ddotg < 0.0, 1, -1)           # (N, NS, 2) i32
+
+    # validity: t window (strict, tracer.cpp CC_clp depth test)
+    valid = (roots > t_min[:, None, None]) & (roots < t_max[:, None, None])
+    valid &= jnp.isfinite(roots) & (roots < BIG)
+    valid &= sc.s_kind[None, :, None] > 0            # padding
+
+    # axis clips in canonical frame (CX/CY/CZ min/max, tracer.cpp:1883-1927)
+    cmin = sc.s_cmin[None, :, None, :]
+    cmax = sc.s_cmax[None, :, None, :]
+    valid &= jnp.all((p_r >= cmin) & (p_r <= cmax), axis=-1)
+
+    # custom clip programs with accum segments (CC_cyc, tracer.cpp:1939-2160)
+    NC = sc.c_op.shape[1]
+    mask = valid
+    saved = jnp.ones_like(valid)
+    for j in range(NC):
+        opj = sc.c_op[:, j]                          # (NS,)
+        refj = jnp.maximum(sc.c_ref[:, j], 0)
+        sidej = sc.c_side[:, j]
+        # clipper's implicit value at the candidate hit point
+        pc = jnp.einsum('sij,nsrj->nsri', sc.s_inv[refj],
+                        x_r - sc.s_pos[refj][None, :, None, :])
+        v = _eval_implicit(sc.s_kind[refj][None, :, None],
+                           sc.s_sci[refj][None, :, None, :],
+                           sc.s_scjh[refj][None, :, None, :],
+                           sc.s_sciw[refj][None, :, None], pc)
+        keep = jnp.where(sidej[None, :, None] >= 0.0, v <= 0.0, v >= 0.0)
+        is_srf = (opj == CLIP_SURF)[None, :, None]
+        is_ent = (opj == CLIP_ENTER)[None, :, None]
+        is_lve = (opj == CLIP_LEAVE)[None, :, None]
+        saved = jnp.where(is_ent, mask, saved)
+        mask = jnp.where(is_srf, mask & keep,
+                         jnp.where(is_ent, jnp.ones_like(mask),
+                                   jnp.where(is_lve, saved & ~mask, mask)))
+    valid = mask
+
+    # exact self-intersection skip (CHECK_SIDE, tracer.cpp:523-540)
+    srf_ids = jnp.arange(NS, dtype=I32)[None, :, None]
+    same = srf_ids == origin_srf[:, None, None]
+    allowed = jnp.where(pass_thru[:, None, None],
+                        side_r != origin_side[:, None, None],
+                        side_r == origin_side[:, None, None])
+    valid &= ~same | allowed
+
+    if shadow:
+        # blocker rule (CHECK_SHAD): emissive and unbent fully-transparent
+        # surfaces don't occlude
+        mat_idx = jnp.where(side_r > 0, sc.s_mat[None, :, None, 0],
+                            sc.s_mat[None, :, None, 1])
+        props = sc.m_props[mat_idx]
+        emissive = (props & PROP_LIGHT) != 0
+        transp = (props & PROP_TRANSP) != 0
+        refract = (props & PROP_REFRACT) != 0
+        blocks = ~emissive & ~(transp & ~refract)
+        valid &= blocks
+        return jnp.any(valid, axis=(1, 2))
+
+    t_cand = jnp.where(valid, roots, BIG).reshape(-1, NS * 2)
+    best = jnp.argmin(t_cand, axis=1)                # (N,)
+    t = jnp.take_along_axis(t_cand, best[:, None], 1)[:, 0]
+    hit = t < BIG
+    bs = (best // 2).astype(I32)
+    br = best % 2
+    srf = jnp.where(hit, bs, -1)
+
+    lanes = jnp.arange(t.shape[0])
+    take = lambda arr: arr[lanes, bs, br]
+    side = take(side_r)
+    p = take(p_r)
+    x = take(x_r)
+    g = take(g_r)
+
+    # world normal: n = inv^T g, normalized, flipped to the hit side
+    inv_s = sc.s_inv[bs]                             # (N, 3, 3)
+    n_w = jnp.einsum('nji,nj->ni', inv_s, g)
+    n_w = n_w * side[:, None].astype(F32)
+    n_w = n_w * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(n_w * n_w, -1, keepdims=True), 1e-30))
+    return dict(t=t, srf=srf, side=side, x=x, p=p, n=n_w, hit=hit)
+
+
+# ---------------------------------------------------------------------------
+# materials + shading
+# ---------------------------------------------------------------------------
+
+def material_index(sc: SceneArrays, srf, side):
+    s = jnp.maximum(srf, 0)
+    return jnp.where(side > 0, sc.s_mat[s, 0], sc.s_mat[s, 1])
+
+
+def texture_color(sc: SceneArrays, midx, p_local):
+    """Texture fetch (MT_tex, tracer.cpp:2297-2321): integer mask/shift
+    addressing over pow-2 dims; UV = local I,J; gamma decode x^2 when the
+    GAMMA prop is on (PAINT_COLX, tracer.cpp:664-673)."""
+    props = sc.m_props[midx]
+    base = sc.m_tex_base[midx]
+    u = (p_local[..., 0] - sc.m_tex_off[midx, 0])
+    v = (p_local[..., 1] - sc.m_tex_off[midx, 1])
+    xdim = (sc.m_tex_xmask[midx] + 1).astype(F32)
+    ydim = (sc.m_tex_ymask[midx] + 1).astype(F32)
+    ix = jnp.floor(u * xdim / sc.m_tex_scl[midx, 0]).astype(I32)
+    iy = jnp.floor(v * ydim / sc.m_tex_scl[midx, 1]).astype(I32)
+    ix &= sc.m_tex_xmask[midx]
+    iy &= sc.m_tex_ymask[midx]
+    idx = jnp.maximum(base, 0) + (iy << sc.m_tex_xshift[midx]) + ix
+    texel = sc.tex_data[idx]
+    col = jnp.where((base >= 0)[..., None], texel, sc.m_col[midx])
+    gamma = ((props & PROP_GAMMA) != 0) & (sc.use_gamma > 0)
+    return jnp.where(gamma[..., None], col * col, col)
+
+
+def shade(sc: SceneArrays, cfg: TraceConfig, x, p, n, ray_d, srf, side, hit):
+    """Local color: ambient + per-light diffuse/specular with hard shadows
+    (LT_reg..LT_end, tracer.cpp:2709-3180)."""
+    midx = material_index(sc, srf, side)
+    props = sc.m_props[midx]
+    tex = texture_color(sc, midx, p)
+
+    emissive = (props & PROP_LIGHT) != 0
+    col = tex * sc.amb_col[None, :]
+
+    NL = sc.l_pos.shape[0]
+    zero_t = jnp.zeros_like(x[:, 0])
+    for li in range(NL):
+        lvec = sc.l_pos[li][None, :] - x                 # L = pos - hit
+        r_dot = jnp.sum(lvec * n, -1)
+        lit = (r_dot > 0.0) & (sc.l_on[li] > 0) & hit
+        # shadow any-hit along hit -> light, t in (0, 1) (lgt_T_MAX = 1)
+        occ = intersect(sc, x, lvec, zero_t, jnp.ones_like(zero_t),
+                        srf, side, jnp.zeros_like(lit), shadow=True)
+        hm = lit & ~occ
+        r2 = jnp.sum(lvec * lvec, -1)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        attn = jax.lax.rsqrt(jnp.maximum(
+            sc.l_cnt[li] + sc.l_lnr[li] * r + sc.l_qdr[li] * r2, 1e-30))
+        dfs = jnp.where(hm & ((props & PROP_DIFFUSE) != 0),
+                        r_dot / r * attn * sc.m_dff[midx], 0.0)
+        # specular: reflect L about n, dot with view ray
+        rl = lvec - 2.0 * r_dot[:, None] * n
+        sdot = jnp.sum(rl * ray_d, -1)
+        cosr = sdot * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(ray_d * ray_d, -1) * r2, 1e-30))
+        spc_on = hm & (sdot > 0.0) & ((props & PROP_SPECULAR) != 0)
+        cosr = jnp.clip(jnp.where(spc_on, cosr, 0.0), 0.0, 1.0)
+        spc = jnp.where(spc_on,
+                        jnp.power(cosr, sc.m_pow[midx]) * sc.m_spc[midx],
+                        0.0)
+        lcol = sc.l_col[li][None, :]
+        metal = (props & PROP_METAL) != 0
+        contrib_metal = tex * lcol * (dfs + spc)[:, None]
+        contrib_plain = tex * lcol * dfs[:, None] + lcol * spc[:, None]
+        col = col + jnp.where(metal[:, None], contrib_metal, contrib_plain)
+
+    return jnp.where(emissive[:, None], tex, col)
+
+
+def fresnel_terms(sc: SceneArrays, midx, d, n):
+    """Effective reflect/refract weights + refraction direction
+    (TR section, tracer.cpp:3182-3424): Snell with ratio eta = m_rfr, TIR
+    folds transparency into reflectivity, exact dielectric Fresnel moves
+    trn*F into rfl when enabled."""
+    props = sc.m_props[midx]
+    eta = sc.m_rfr[midx]
+    trn = sc.m_trn[midx]
+    rfl = sc.m_rfl[midx]
+
+    dlen = jax.lax.rsqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-30))
+    rhat = d * dlen[:, None]
+    dot = jnp.sum(rhat * n, -1)                      # negative (n faces ray)
+    k = 1.0 - eta * eta + (eta * dot) ** 2
+    refracts = (props & PROP_REFRACT) != 0
+    tir = (k < 0.0) & refracts
+    sq = jnp.sqrt(jnp.maximum(k, 0.0))
+    refr_dir = jnp.where(refracts[:, None],
+                         eta[:, None] * rhat
+                         - n * (eta * dot + sq)[:, None],
+                         rhat)
+
+    fres_on = ((props & PROP_FRESNEL) != 0) & (sc.use_fresnel > 0) & \
+        ((props & PROP_OPAQUE) == 0)
+    # exact dielectric reflectance (tracer.cpp:3383-3401)
+    rs = _safe_div(eta * dot + sq, eta * dot - sq, 1.0)
+    rp = _safe_div(dot + eta * sq, dot - eta * sq, 1.0)
+    F = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+    F = jnp.where(fres_on, F, 0.0)
+    F = jnp.where(tir, 1.0, F)
+
+    c_trn = trn * (1.0 - F)
+    c_rfl = rfl + trn * F
+    c_trn = jnp.where(tir, 0.0, c_trn)
+    return c_rfl, c_trn, refr_dir, tir
+
+
+# ---------------------------------------------------------------------------
+# the iterative Whitted loop
+# ---------------------------------------------------------------------------
+
+def _onehot(i, d):
+    return jax.nn.one_hot(i, d, dtype=jnp.bool_)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_rays(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
+    """Trace N rays to completion; returns (N, 3) linear radiance."""
+    N = dirs.shape[0]
+    D = cfg.stack
+
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+
+    state = dict(
+        org=org.astype(F32), dir=dirs.astype(F32),
+        thr=jnp.ones((N, 3), F32),
+        depth=jnp.zeros((N,), I32),
+        osrf=jnp.full((N,), -1, I32), oside=jnp.ones((N,), I32),
+        thru=jnp.zeros((N,), jnp.bool_),
+        tmin=t_min.astype(F32),
+        active=jnp.ones((N,), jnp.bool_),
+        acc=jnp.zeros((N, 3), F32),
+        sp=jnp.zeros((N,), I32),
+        st_org=jnp.zeros((N, D, 3), F32), st_dir=jnp.zeros((N, D, 3), F32),
+        st_thr=jnp.zeros((N, D, 3), F32), st_depth=jnp.zeros((N, D), I32),
+        st_srf=jnp.zeros((N, D), I32), st_side=jnp.zeros((N, D), I32),
+        it=jnp.zeros((), I32),
+    )
+
+    def cond(st):
+        return jnp.any(st["active"]) & (st["it"] < cfg.max_segments)
+
+    def body(st):
+        act = st["active"]
+        h = intersect(sc, st["org"], st["dir"], st["tmin"],
+                      jnp.full((N,), BIG), st["osrf"], st["oside"],
+                      st["thru"])
+        hit = h["hit"] & act
+        local = shade(sc, cfg, h["x"], h["p"], h["n"], st["dir"],
+                      h["srf"], h["side"], hit)
+        midx = material_index(sc, h["srf"], h["side"])
+        c_rfl, c_trn, refr_dir, _ = fresnel_terms(sc, midx, st["dir"], h["n"])
+        local_w = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
+        acc = st["acc"] + jnp.where(hit[:, None],
+                                    st["thr"] * local * local_w[:, None],
+                                    0.0)
+
+        # continuations
+        deep_ok = st["depth"] < cfg.depth
+        thr_rfl = st["thr"] * c_rfl[:, None]
+        thr_trn = st["thr"] * c_trn[:, None]
+        go_rfl = hit & deep_ok & (jnp.max(thr_rfl, -1) > cfg.cutoff)
+        go_trn = hit & deep_ok & (jnp.max(thr_trn, -1) > cfg.cutoff)
+
+        ddotn = jnp.sum(st["dir"] * h["n"], -1)
+        refl_dir = st["dir"] - 2.0 * ddotn[:, None] * h["n"]
+
+        # push refraction branch where both continue
+        push = go_rfl & go_trn & (st["sp"] < D)
+        oh = _onehot(jnp.where(push, st["sp"], D), D)  # (N, D) false if !push
+        put = lambda stk, val: jnp.where(
+            oh[..., None] if stk.ndim == 3 else oh,
+            val[:, None, :] if stk.ndim == 3 else val[:, None], stk)
+        st_org = put(st["st_org"], h["x"])
+        st_dir = put(st["st_dir"], refr_dir)
+        st_thr = put(st["st_thr"], thr_trn)
+        st_depth = put(st["st_depth"], st["depth"] + 1)
+        st_srf = put(st["st_srf"], h["srf"])
+        st_side = put(st["st_side"], h["side"])
+        sp = st["sp"] + push.astype(I32)
+
+        # continue with reflection if live, else refraction, else pop
+        cont = go_rfl | go_trn
+        use_rfl = go_rfl
+        n_org = h["x"]
+        n_dir = jnp.where(use_rfl[:, None], refl_dir, refr_dir)
+        n_thr = jnp.where(use_rfl[:, None], thr_rfl, thr_trn)
+        n_depth = st["depth"] + 1
+        n_osrf = h["srf"]
+        n_oside = h["side"]
+        n_thru = ~use_rfl
+
+        # pop for lanes that don't continue
+        can_pop = act & ~cont & (sp > 0)
+        psp = jnp.maximum(sp - 1, 0)
+        grab = lambda stk: jnp.take_along_axis(
+            stk, psp[:, None, None] if stk.ndim == 3 else psp[:, None],
+            1)[:, 0]
+        p_org, p_dir, p_thr = grab(st_org), grab(st_dir), grab(st_thr)
+        p_depth, p_srf, p_side = grab(st_depth), grab(st_srf), grab(st_side)
+
+        sel3 = lambda c, a_, b_: jnp.where(c[:, None], a_, b_)
+        new = dict(
+            org=sel3(cont, n_org, jnp.where(can_pop[:, None], p_org,
+                                            st["org"])),
+            dir=sel3(cont, n_dir, jnp.where(can_pop[:, None], p_dir,
+                                            st["dir"])),
+            thr=sel3(cont, n_thr, jnp.where(can_pop[:, None], p_thr,
+                                            st["thr"])),
+            depth=jnp.where(cont, n_depth, jnp.where(can_pop, p_depth,
+                                                     st["depth"])),
+            osrf=jnp.where(cont, n_osrf, jnp.where(can_pop, p_srf,
+                                                   st["osrf"])),
+            oside=jnp.where(cont, n_oside, jnp.where(can_pop, p_side,
+                                                     st["oside"])),
+            thru=jnp.where(cont, n_thru, can_pop),  # popped = refraction
+            tmin=jnp.where(cont | can_pop, 0.0, st["tmin"]),
+            active=act & (cont | can_pop),
+            acc=acc,
+            sp=jnp.where(can_pop, psp, sp),
+            st_org=st_org, st_dir=st_dir, st_thr=st_thr,
+            st_depth=st_depth, st_srf=st_srf, st_side=st_side,
+            it=st["it"] + 1,
+        )
+        return new
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["acc"]
+
+
+def render(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
+           cfg: TraceConfig = TraceConfig()):
+    """Render a full frame: (H, W, 3) linear float radiance in [0, inf)."""
+    from quadray_tpu.ops.rays import camera_rays, resolve_aa
+    org, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm,
+                            sc.cam_pov, width, height, fsaa)
+    n = dirs.shape[0]
+    t_min = jnp.full((n,), sc.cam_pov, F32)
+    cols = trace_rays(sc, org, dirs, t_min, cfg)
+    cols = jnp.clip(cols, 0.0, 1.0)
+    return resolve_aa(cols, width, height, fsaa)
+
+
+def to_frame(img, use_gamma) -> jnp.ndarray:
+    """Convert linear radiance to uint8 frame with the reference's
+    approximate gamma encode sqrt(x) (FRAME_COLX, tracer.cpp:988-997)."""
+    img = jnp.clip(img, 0.0, 1.0)
+    img = jnp.where(use_gamma > 0, jnp.sqrt(img), img)
+    return jnp.round(img * 255.0).astype(jnp.uint8)

@@ -1,0 +1,557 @@
+"""Scene compiler: hierarchy -> flat static-shaped SoA device arrays.
+
+Replaces the reference's per-frame update pipeline (engine.cpp:2976-3332
+phases 0.5-3 + object.cpp update_fields/commit_fields) with a single
+host-side pass producing a pytree of jnp arrays that the tracer kernels
+consume. Differences from the reference, by design (TPU-first):
+
+  * every surface gets one uniform representation: a canonical unit-shape
+    implicit ``F(p) = sum(sci*p^2) - 2*sum(scjh*p) - sciw`` plus a full
+    affine world->canonical transform (pos + 3x3 linear). This subsumes the
+    reference's axis-mapping/sign fastpaths, per-axis scale folding
+    (object.cpp:3034-3063) and trnode transform caching — dense 3x3 math is
+    effectively free on the TPU VPU and keeps everything differentiable.
+  * per-surface lists (clippers with boolean accum markers,
+    object.cpp:2382-2454 + engine.cpp:1821-1950) become fixed-width padded
+    index arrays (clip programs) evaluated data-parallel.
+  * no tilebuffer / sorted lists — the tracer is brute-force over surfaces
+    with masks (SURVEY.md §2.7); culling can be layered on later.
+
+All numeric math uses jnp so gradients flow from pixels back to transforms,
+shape parameters, materials and lights (inverse rendering).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import chex
+import jax.numpy as jnp
+import numpy as np
+
+from quadray_tpu.scene import schema as S
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# material property bits (analog of RT_PROP_*, tracer.h)
+PROP_LIGHT = 1 << 0      # emissive, unshaded (RT_MAT_LIGHT)
+PROP_METAL = 1 << 1      # metal specular blending (RT_MAT_METAL)
+PROP_OPAQUE = 1 << 2     # trn == 0
+PROP_REFLECT = 1 << 3    # rfl != 0
+PROP_REFRACT = 1 << 4    # rfr != 1
+PROP_DIFFUSE = 1 << 5
+PROP_SPECULAR = 1 << 6
+PROP_TEXTURE = 1 << 7
+PROP_GAMMA = 1 << 8
+PROP_FRESNEL = 1 << 9
+PROP_TRANSP = 1 << 10    # trn == 1
+
+# clip program opcodes
+CLIP_NONE = 0
+CLIP_SURF = 1      # AND with clipper keep-mask
+CLIP_ENTER = 2     # open accumulator segment (tracer.cpp:1953-1959)
+CLIP_LEAVE = 3     # close segment: mask = saved & ~segment (tracer.cpp:1961-1964)
+
+
+@chex.dataclass(frozen=True)
+class SceneArrays:
+    """Flat SoA scene, static shapes; the device-side scene representation."""
+
+    # surfaces, padded to NS
+    s_tag: jnp.ndarray     # (NS,) i32 surface tag, -1 = pad
+    s_kind: jnp.ndarray    # (NS,) i32 0=pad 1=plane 2=quadric
+    s_pos: jnp.ndarray     # (NS,3) world position of local origin
+    s_inv: jnp.ndarray     # (NS,3,3) world->canonical linear map
+    s_sci: jnp.ndarray     # (NS,3) quadratic coeffs
+    s_scjh: jnp.ndarray    # (NS,3) halved linear coeffs
+    s_sciw: jnp.ndarray    # (NS,) constant coeff
+    s_cmin: jnp.ndarray    # (NS,3) canonical axis clip min
+    s_cmax: jnp.ndarray    # (NS,3) canonical axis clip max
+    s_mat: jnp.ndarray     # (NS,2) i32 material index (outer, inner)
+    # clip programs, padded to (NS, NC)
+    c_op: jnp.ndarray      # (NS,NC) i32 opcode
+    c_ref: jnp.ndarray     # (NS,NC) i32 clipper surface index
+    c_side: jnp.ndarray    # (NS,NC) f32 +1 remove-outer / -1 remove-inner
+    # materials, padded to NM
+    m_props: jnp.ndarray   # (NM,) i32
+    m_col: jnp.ndarray     # (NM,3) plain color (linear 0..1)
+    m_dff: jnp.ndarray     # (NM,)
+    m_spc: jnp.ndarray     # (NM,)
+    m_pow: jnp.ndarray     # (NM,) specular power (float; reference 28.4 fx)
+    m_rfl: jnp.ndarray     # (NM,)
+    m_trn: jnp.ndarray     # (NM,)
+    m_rfr: jnp.ndarray     # (NM,) refraction index ratio
+    m_ext: jnp.ndarray     # (NM,) extinction (metal Fresnel)
+    m_tex_base: jnp.ndarray   # (NM,) i32 offset into tex_data, -1 = none
+    m_tex_xmask: jnp.ndarray  # (NM,) i32 width-1
+    m_tex_ymask: jnp.ndarray  # (NM,) i32 height-1
+    m_tex_xshift: jnp.ndarray  # (NM,) i32 log2(width)
+    m_tex_scl: jnp.ndarray    # (NM,2) texel scale (x_dim/sd.scl)
+    m_tex_off: jnp.ndarray    # (NM,2) uv offset (sd.pos)
+    tex_data: jnp.ndarray     # (T,3) f32 texture atlas
+    # lights, padded to NL
+    l_pos: jnp.ndarray     # (NL,3)
+    l_col: jnp.ndarray     # (NL,3) color * src intensity
+    l_cnt: jnp.ndarray     # (NL,) attenuation constant
+    l_lnr: jnp.ndarray     # (NL,)
+    l_qdr: jnp.ndarray     # (NL,)
+    l_on: jnp.ndarray      # (NL,) f32 1.0 active / 0.0 pad
+    # camera
+    cam_pos: jnp.ndarray   # (3,)
+    cam_hor: jnp.ndarray   # (3,)
+    cam_ver: jnp.ndarray   # (3,)
+    cam_nrm: jnp.ndarray   # (3,)
+    cam_pov: jnp.ndarray   # ()
+    amb_col: jnp.ndarray   # (3,) accumulated ambient (engine.cpp:3262-3272)
+    # feature toggles derived from SceneDef.opts (inverted flags,
+    # format.h:59-62): 1.0 = enabled
+    use_gamma: jnp.ndarray    # ()
+    use_fresnel: jnp.ndarray  # ()
+
+
+def _deg2rad(x):
+    return x * (math.pi / 180.0)
+
+
+def transform_matrix(trm: S.Transform3D):
+    """4x4 world-from-local: T . Rz . Ry . Rx . Scl on column vectors
+    (matches rtgeom.cpp:102-163 composition; angles in degrees)."""
+    sx, sy, sz = [jnp.asarray(v, F32) for v in trm.scl]
+    ax, ay, az = [_deg2rad(jnp.asarray(v, F32)) for v in trm.rot]
+    px, py, pz = [jnp.asarray(v, F32) for v in trm.pos]
+    cx, sxn = jnp.cos(ax), jnp.sin(ax)
+    cy, syn = jnp.cos(ay), jnp.sin(ay)
+    cz, szn = jnp.cos(az), jnp.sin(az)
+    one = jnp.asarray(1.0, F32)
+    zero = jnp.asarray(0.0, F32)
+    rx = jnp.stack([
+        jnp.stack([one, zero, zero]),
+        jnp.stack([zero, cx, -sxn]),
+        jnp.stack([zero, sxn, cx])])
+    ry = jnp.stack([
+        jnp.stack([cy, zero, syn]),
+        jnp.stack([zero, one, zero]),
+        jnp.stack([-syn, zero, cy])])
+    rz = jnp.stack([
+        jnp.stack([cz, -szn, zero]),
+        jnp.stack([szn, cz, zero]),
+        jnp.stack([zero, zero, one])])
+    scl = jnp.diag(jnp.stack([sx, sy, sz]))
+    lin = rz @ ry @ rx @ scl
+    m = jnp.zeros((4, 4), F32)
+    m = m.at[:3, :3].set(lin)
+    m = m.at[:3, 3].set(jnp.stack([px, py, pz]))
+    m = m.at[3, 3].set(1.0)
+    return m
+
+
+def quadric_coeffs(srf: S.Surface):
+    """Canonical unit-frame implicit coefficients per surface tag.
+
+    F(p) = sci.p^2 - 2*scjh.p - sciw  (outer side F > 0), following the
+    shape tables in object.cpp (Cylinder:3120-3133, Sphere:3215-3227,
+    Cone:3336-3349, Paraboloid:3444-3458, Hyperboloid:3563-3577,
+    ParaCylinder:3673-3688, HyperCylinder:3790-3805,
+    HyperParaboloid:3896-3911) without the per-axis scale folding
+    (commit_fields, object.cpp:3034-3063) — scale lives in the affine
+    world->canonical matrix instead.
+    """
+    t = srf.tag
+    f = lambda v: jnp.asarray(v, F32)
+    zero = f(0.0)
+    if t == S.TAG_PLANE:
+        sci = jnp.stack([zero, zero, zero])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = zero
+    elif t == S.TAG_CYLINDER:
+        sci = jnp.stack([f(1.0), f(1.0), zero])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = f(srf.rad) * f(srf.rad)
+    elif t == S.TAG_SPHERE:
+        sci = jnp.stack([f(1.0), f(1.0), f(1.0)])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = f(srf.rad) * f(srf.rad)
+    elif t == S.TAG_CONE:
+        sci = jnp.stack([f(1.0), f(1.0), -f(srf.rat) * f(srf.rat)])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = zero
+    elif t == S.TAG_PARABOLOID:
+        sci = jnp.stack([f(1.0), f(1.0), zero])
+        scjh = jnp.stack([zero, zero, f(srf.par) * 0.5])
+        sciw = zero
+    elif t == S.TAG_HYPERBOLOID:
+        sci = jnp.stack([f(1.0), f(1.0), -f(srf.rat) * f(srf.rat)])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = f(srf.hyp)
+    elif t == S.TAG_PARACYLINDER:
+        sci = jnp.stack([f(1.0), zero, zero])
+        scjh = jnp.stack([zero, zero, f(srf.par) * 0.5])
+        sciw = zero
+    elif t == S.TAG_HYPERCYLINDER:
+        sci = jnp.stack([f(1.0), zero, -f(srf.rat) * f(srf.rat)])
+        scjh = jnp.stack([zero, zero, zero])
+        sciw = f(srf.hyp)
+    elif t == S.TAG_HYPERPARABOLOID:
+        sci = jnp.stack([1.0 / jnp.abs(f(srf.pr1)),
+                         -1.0 / jnp.abs(f(srf.pr2)), zero])
+        scjh = jnp.stack([zero, zero, f(0.5)])
+        sciw = zero
+    else:
+        raise ValueError(f"unknown surface tag {t}")
+    return sci, scjh, sciw
+
+
+def _unpack_color(val: int):
+    r = ((val >> 16) & 0xFF) / 255.0
+    g = ((val >> 8) & 0xFF) / 255.0
+    b = (val >> 0) & 0xFF
+    return np.array([r, g, b / 255.0], np.float32)
+
+
+class _Collected:
+    def __init__(self):
+        self.surfaces: List[Dict[str, Any]] = []
+        self.lights: List[Dict[str, Any]] = []
+        self.cameras: List[Dict[str, Any]] = []
+        self.materials: List[S.Material] = []
+        self.mat_ids: Dict[int, int] = {}
+
+    def material_index(self, mat: Optional[S.Material]) -> int:
+        if mat is None:
+            mat = _DEFAULT_MAT
+        key = id(mat)
+        if key not in self.mat_ids:
+            self.mat_ids[key] = len(self.materials)
+            self.materials.append(mat)
+        return self.mat_ids[key]
+
+
+_DEFAULT_MAT = S.Material(tex=S.Texture.pcolor(0x808080))
+
+
+def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
+    """Recursive hierarchy walk (analog of rt_Array ctor + update_object,
+    object.cpp:1170-1800). Returns, per object slot, the list of *global*
+    surface indices it produced (for relation resolution)."""
+    slot_surfaces: List[List[int]] = []
+    for ob in arr.objects:
+        trm = ob.anim(time) if ob.anim is not None else ob.trm
+        mtx = parent_mtx @ transform_matrix(trm)
+        item = ob.item
+        produced: List[int] = []
+        if isinstance(item, S.Array):
+            sub = _walk(col, item, mtx, time)
+            for lst in sub:
+                produced.extend(lst)
+        elif isinstance(item, S.Surface):
+            mo = ob.mat_outer if ob.mat_outer is not None else \
+                item.side_outer.material
+            mi = ob.mat_inner if ob.mat_inner is not None else \
+                item.side_inner.material
+            idx = len(col.surfaces)
+            col.surfaces.append(dict(
+                srf=item, mtx=mtx,
+                mat_outer=col.material_index(mo),
+                mat_inner=col.material_index(mi),
+                side_outer=item.side_outer, side_inner=item.side_inner,
+                clips=[],
+            ))
+            produced.append(idx)
+        elif isinstance(item, S.Light):
+            col.lights.append(dict(lgt=item, mtx=mtx))
+        elif isinstance(item, S.Camera):
+            col.cameras.append(dict(cam=item, mtx=mtx))
+        slot_surfaces.append(produced)
+
+    _apply_relations(col, arr, slot_surfaces)
+    return slot_surfaces
+
+
+def _apply_relations(col: _Collected, arr: S.Array,
+                     slot_surfaces: List[List[int]]):
+    """Resolve rt_RELATION rows into per-surface clip program entries
+    (semantics from rt_Array ctor object.cpp:1376-1587 + add_relation
+    object.cpp:2382-2454): MINUS_INNER/OUTER rows attach clippers; rows with
+    obj1 == -1 accumulate a pending segment that MINUS_ACCUM attaches
+    wrapped in ENTER/LEAVE markers. Arrays as operands expand recursively to
+    their surfaces. INDEX_ARRAY descends one level for the following row."""
+    pending_accum: List[Tuple[int, int]] = []  # (clipper_idx, side)
+    idx1_path: List[int] = []
+    idx2_path: List[int] = []
+
+    def resolve(slot: int, path: List[int]) -> List[int]:
+        # follow INDEX_ARRAY descents: path picks nested slots
+        objs = slot_surfaces[slot]
+        return list(objs)
+
+    for rel in arr.relations:
+        r = rel.rel
+        if r == S.REL_INDEX_ARRAY:
+            # next row's indices address a nested array: the reference keeps
+            # a descent stack (object.cpp:1407-1422); nested arrays already
+            # expand to flat surface lists here, so INDEX_ARRAY only matters
+            # for selecting *individual* sub-objects. Record paths.
+            if rel.obj1 >= 0:
+                idx1_path.append(rel.obj1)
+            if rel.obj2 >= 0:
+                idx2_path.append(rel.obj2)
+            continue
+        if r in (S.REL_BOUND_ARRAY, S.REL_UNTIE_ARRAY,
+                 S.REL_BOUND_INDEX, S.REL_UNTIE_INDEX):
+            # bounding-volume culling hints (RT_OPTS_VARRAY) — no-ops for
+            # the brute-force TPU tracer.
+            idx1_path.clear()
+            idx2_path.clear()
+            continue
+        if r in (S.REL_MINUS_INNER, S.REL_MINUS_OUTER):
+            side = +1 if r == S.REL_MINUS_OUTER else -1
+            if rel.obj1 == -1:
+                # open/extend accum segment with obj2's surfaces
+                for ci in _descend(slot_surfaces, rel.obj2, idx2_path):
+                    pending_accum.append((ci, side))
+            else:
+                targets = _descend(slot_surfaces, rel.obj1, idx1_path)
+                clippers = _descend(slot_surfaces, rel.obj2, idx2_path)
+                for ti in targets:
+                    for ci in clippers:
+                        if ci != ti:
+                            col.surfaces[ti]["clips"].append(
+                                (CLIP_SURF, ci, side))
+        elif r == S.REL_MINUS_ACCUM:
+            targets = _descend(slot_surfaces, rel.obj1, idx1_path)
+            for ti in targets:
+                col.surfaces[ti]["clips"].append((CLIP_ENTER, -1, 0))
+                for (ci, side) in pending_accum:
+                    if ci != ti:
+                        col.surfaces[ti]["clips"].append((CLIP_SURF, ci, side))
+                col.surfaces[ti]["clips"].append((CLIP_LEAVE, -1, 0))
+            pending_accum = []
+        idx1_path.clear()
+        idx2_path.clear()
+
+
+def _descend(slot_surfaces, slot: int, path: List[int]) -> List[int]:
+    if slot < 0:
+        return []
+    # path descent into nested arrays is flattened: selecting a sub-range
+    # would need per-level bookkeeping; current scenes use INDEX_ARRAY with
+    # whole sub-arrays, which expand to all surfaces anyway.
+    return slot_surfaces[slot]
+
+
+def _texture_array(tex: S.Texture) -> Optional[np.ndarray]:
+    """Return (H, W, 3) float RGB in [0,1] or None for plain color."""
+    if tex.data is not None:
+        d = np.asarray(tex.data)
+        if d.ndim == 2:  # packed 0xAARRGGBB uint32
+            d = d.astype(np.uint32)
+            rgb = np.stack([(d >> 16) & 0xFF, (d >> 8) & 0xFF, d & 0xFF],
+                           axis=-1).astype(np.float32) / 255.0
+            return rgb
+        return d.astype(np.float32)
+    if tex.path is not None:
+        from quadray_tpu.utils.image import load_bmp
+        return load_bmp(tex.path).astype(np.float32) / 255.0
+    return None
+
+
+def _pad_pow2(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def compile_scene(scene: S.SceneDef, time: float = 0.0,
+                  cam_index: int = 0,
+                  ns: Optional[int] = None, nc: Optional[int] = None,
+                  nl: Optional[int] = None) -> SceneArrays:
+    """Compile a SceneDef at a given time into SceneArrays.
+
+    Static shapes: NS surfaces / NC clip entries / NL lights / NM materials
+    are padded (pow2) so recompiles at different times hit the jit cache.
+    """
+    col = _Collected()
+    eye = jnp.eye(4, dtype=F32)
+    _walk(col, scene.root, eye, time)
+
+    n_srf = len(col.surfaces)
+    if n_srf == 0:
+        raise ValueError("scene has no surfaces")
+    NS = ns or _pad_pow2(n_srf)
+    NC = nc or max(1, _pad_pow2(max((len(s["clips"]) for s in col.surfaces),
+                                    default=1)))
+    NL = nl or max(1, _pad_pow2(len(col.lights)))
+    NM = max(1, len(col.materials))
+
+    # ---- surfaces
+    tags, kinds = [], []
+    poss, invs, scis, scjhs, sciws, cmins, cmaxs, mats = ([] for _ in range(8))
+    cops = np.zeros((NS, NC), np.int32)
+    crefs = np.full((NS, NC), -1, np.int32)
+    csides = np.zeros((NS, NC), np.float32)
+    for i, sd in enumerate(col.surfaces):
+        srf: S.Surface = sd["srf"]
+        mtx = sd["mtx"]
+        lin = mtx[:3, :3]
+        pos = mtx[:3, 3]
+        inv = jnp.linalg.inv(lin)
+        sci, scjh, sciw = quadric_coeffs(srf)
+        tags.append(srf.tag)
+        kinds.append(1 if srf.tag == S.TAG_PLANE else 2)
+        poss.append(pos)
+        invs.append(inv)
+        scis.append(sci)
+        scjhs.append(scjh)
+        sciws.append(sciw)
+        cmins.append(jnp.asarray(np.asarray(srf.min, np.float32)))
+        cmaxs.append(jnp.asarray(np.asarray(srf.max, np.float32)))
+        mats.append((sd["mat_outer"], sd["mat_inner"]))
+        for j, (op, ref, side) in enumerate(sd["clips"][:NC]):
+            cops[i, j] = op
+            crefs[i, j] = ref
+            csides[i, j] = float(side)
+
+    def pad_f(lst, shape):
+        a = jnp.stack(lst) if lst else jnp.zeros((0,) + shape, F32)
+        pad = NS - a.shape[0]
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + shape, F32)], axis=0)
+        return a.astype(F32)
+
+    s_tag = np.full((NS,), -1, np.int32)
+    s_tag[:n_srf] = tags
+    s_kind = np.zeros((NS,), np.int32)
+    s_kind[:n_srf] = kinds
+
+    # ---- materials + texture atlas
+    m_props = np.zeros((NM,), np.int32)
+    m_col = np.zeros((NM, 3), np.float32)
+    m_f = {k: np.zeros((NM,), np.float32)
+           for k in ("dff", "spc", "pow", "rfl", "trn", "rfr", "ext")}
+    m_tex_base = np.full((NM,), -1, np.int32)
+    m_tex_xmask = np.zeros((NM,), np.int32)
+    m_tex_ymask = np.zeros((NM,), np.int32)
+    m_tex_xshift = np.zeros((NM,), np.int32)
+    m_tex_scl = np.ones((NM, 2), np.float32)
+    m_tex_off = np.zeros((NM, 2), np.float32)
+    atlas: List[np.ndarray] = []
+    atlas_len = 0
+    use_gamma = (scene.opts & S.OPTS_GAMMA) == 0
+    use_fresnel = (scene.opts & S.OPTS_FRESNEL) == 0
+    for mi, mat in enumerate(col.materials):
+        props = 0
+        props |= PROP_LIGHT if mat.tag == S.MAT_LIGHT else 0
+        props |= PROP_METAL if mat.tag == S.MAT_METAL else 0
+        trn = float(np.asarray(mat.trn))
+        rfl = float(np.asarray(mat.rfl))
+        props |= PROP_OPAQUE if trn == 0.0 else 0
+        props |= PROP_TRANSP if trn == 1.0 else 0
+        props |= PROP_REFLECT if rfl != 0.0 else 0
+        props |= PROP_REFRACT if float(np.asarray(mat.rfr)) != 1.0 else 0
+        dff, spc = float(np.asarray(mat.dff)), float(np.asarray(mat.spc))
+        props |= PROP_DIFFUSE if dff != 0.0 else 0
+        props |= PROP_SPECULAR if spc != 0.0 else 0
+        if rfl + trn >= 1.0:  # object.cpp:4056-4060
+            props &= ~(PROP_DIFFUSE | PROP_SPECULAR)
+        props |= PROP_GAMMA if use_gamma else 0
+        props |= PROP_FRESNEL if use_fresnel else 0
+        tex_arr = _texture_array(mat.tex)
+        if tex_arr is not None:
+            h, w = tex_arr.shape[:2]
+            assert (w & (w - 1)) == 0 and (h & (h - 1)) == 0, \
+                "texture dims must be powers of two (reference contract)"
+            props |= PROP_TEXTURE
+            m_tex_base[mi] = atlas_len
+            m_tex_xmask[mi] = w - 1
+            m_tex_ymask[mi] = h - 1
+            m_tex_xshift[mi] = int(math.log2(w))
+            atlas.append(tex_arr.reshape(-1, 3))
+            atlas_len += h * w
+        m_props[mi] = props
+        m_col[mi] = _unpack_color(mat.tex.color)
+        for k in m_f:
+            m_f[k][mi] = float(np.asarray(getattr(mat, k)))
+        # refraction special case (object.cpp:4146-4152): partially
+        # transparent with rfr==1 -> ext supplies the Fresnel index
+        if 0.0 < trn < 1.0 and m_f["rfr"][mi] == 1.0 and m_f["ext"][mi] != 0.0:
+            m_f["rfr"][mi] = m_f["ext"][mi]
+    tex_data = (np.concatenate(atlas, axis=0) if atlas
+                else np.zeros((1, 3), np.float32))
+
+    # per-surface texture 2D transforms live on sides; fold the *outer*
+    # side's transform into the material slots referenced by this surface.
+    # (the reference keys materials by (side, material); textured scenes in
+    # the test suite reuse materials with identity side transforms, so a
+    # single per-material transform suffices for now)
+    for sd in col.surfaces:
+        for key, side in (("mat_outer", sd["side_outer"]),
+                          ("mat_inner", sd["side_inner"])):
+            mi = sd[key]
+            if side is not None:
+                m_tex_scl[mi] = np.asarray(side.scl, np.float32)
+                m_tex_off[mi] = np.asarray(side.pos, np.float32)
+
+    # ---- lights + ambient accumulation (engine.cpp:3262-3272)
+    l_pos = np.zeros((NL, 3), np.float32)
+    l_col = np.zeros((NL, 3), np.float32)
+    l_cnt = np.ones((NL,), np.float32)
+    l_lnr = np.zeros((NL,), np.float32)
+    l_qdr = np.zeros((NL,), np.float32)
+    l_on = np.zeros((NL,), np.float32)
+    amb = np.zeros((3,), np.float32)
+    for li, ld in enumerate(col.lights):
+        lgt: S.Light = ld["lgt"]
+        pos = np.asarray(ld["mtx"][:3, 3])
+        colr = _unpack_color(lgt.col)
+        l_pos[li] = pos
+        l_col[li] = colr * float(np.asarray(lgt.src))
+        # reference biases constant attenuation by +1 (object.cpp:617)
+        l_cnt[li] = float(np.asarray(lgt.cnt)) + 1.0
+        l_lnr[li] = float(np.asarray(lgt.lnr))
+        l_qdr[li] = float(np.asarray(lgt.qdr))
+        l_on[li] = 1.0
+        amb += colr * float(np.asarray(lgt.amb))
+
+    # ---- camera (basis = columns of world matrix; ray steppers are
+    # generated in ops.rays following engine.cpp:3032-3055, 3256-3259)
+    if not col.cameras:
+        raise ValueError("scene has no camera")
+    cd = col.cameras[min(cam_index, len(col.cameras) - 1)]
+    cam: S.Camera = cd["cam"]
+    cmtx = cd["mtx"]
+    amb += np.asarray(_unpack_color(cam.col)) * float(np.asarray(cam.amb))
+
+    return SceneArrays(
+        s_tag=jnp.asarray(s_tag), s_kind=jnp.asarray(s_kind),
+        s_pos=pad_f(poss, (3,)), s_inv=pad_f(invs, (3, 3)),
+        s_sci=pad_f(scis, (3,)), s_scjh=pad_f(scjhs, (3,)),
+        s_sciw=pad_f([jnp.reshape(s, ()) for s in sciws], ()),
+        s_cmin=pad_f(cmins, (3,)), s_cmax=pad_f(cmaxs, (3,)),
+        s_mat=jnp.asarray(np.array(
+            mats + [(0, 0)] * (NS - n_srf), np.int32)),
+        c_op=jnp.asarray(cops), c_ref=jnp.asarray(crefs),
+        c_side=jnp.asarray(csides),
+        m_props=jnp.asarray(m_props), m_col=jnp.asarray(m_col),
+        m_dff=jnp.asarray(m_f["dff"]), m_spc=jnp.asarray(m_f["spc"]),
+        m_pow=jnp.asarray(m_f["pow"]), m_rfl=jnp.asarray(m_f["rfl"]),
+        m_trn=jnp.asarray(m_f["trn"]), m_rfr=jnp.asarray(m_f["rfr"]),
+        m_ext=jnp.asarray(m_f["ext"]),
+        m_tex_base=jnp.asarray(m_tex_base),
+        m_tex_xmask=jnp.asarray(m_tex_xmask),
+        m_tex_ymask=jnp.asarray(m_tex_ymask),
+        m_tex_xshift=jnp.asarray(m_tex_xshift),
+        m_tex_scl=jnp.asarray(m_tex_scl), m_tex_off=jnp.asarray(m_tex_off),
+        tex_data=jnp.asarray(tex_data),
+        l_pos=jnp.asarray(l_pos), l_col=jnp.asarray(l_col),
+        l_cnt=jnp.asarray(l_cnt), l_lnr=jnp.asarray(l_lnr),
+        l_qdr=jnp.asarray(l_qdr), l_on=jnp.asarray(l_on),
+        cam_pos=cmtx[:3, 3], cam_hor=cmtx[:3, 0], cam_ver=cmtx[:3, 1],
+        cam_nrm=cmtx[:3, 2],
+        cam_pov=jnp.asarray(float(np.asarray(cam.pov)), F32),
+        amb_col=jnp.asarray(amb),
+        use_gamma=jnp.asarray(1.0 if use_gamma else 0.0, F32),
+        use_fresnel=jnp.asarray(1.0 if use_fresnel else 0.0, F32),
+    )
