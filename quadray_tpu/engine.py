@@ -50,7 +50,9 @@ class Scene:
         self.height = height
         self.pfm = pfm or Platform()
         self.cam_index = cam_index
-        self.opts = sdef.opts
+        # effective opts: FULL minus the flags the scene def turns off
+        # (rt_Scene ctor engine.cpp:2873 + set_opts engine.cpp:3714-3724)
+        self.opts = S.OPTS_FULL & ~sdef.opts
         self._arrays: Optional[SceneArrays] = None
         self._time = 0.0
         self.frame = np.zeros((height, width, 3), np.uint8)
@@ -91,7 +93,7 @@ class Scene:
         save_bmp(path, self.frame)
 
     def set_opts(self, opts: int):
-        self.opts = opts
+        self.opts = opts & ~self.sdef.opts
         self._arrays = None
 
     def print_state(self, log=print):

@@ -16,16 +16,32 @@ from quadray_tpu.utils.image import load_bmp, frame_cmp
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
 
-# scenes ported so far; each entry: (module name, golden file, allowed bad px)
+# (scene name, golden file, allowed bad px). Non-zero budgets are known
+# gaps being driven to 0; they act as regression ceilings meanwhile.
 CASES = [
     ("test01", "ref_test01.bmp", 0),
+    ("test02", "ref_test02.bmp", 0),
+    ("test03", "ref_test03.bmp", 0),
+    ("test04", "ref_test04.bmp", 0),
+    ("test05", "ref_test05.bmp", 0),
+    ("test06", "ref_test06.bmp", 0),
+    ("test07", "ref_test07.bmp", 0),
+    ("test08", "ref_test08.bmp", 0),
+    ("test09", "ref_test09.bmp", 0),
+    ("test10", "ref_test10.bmp", 0),
+    ("test11", "ref_test11.bmp", 10),
+    ("test12", "ref_test12.bmp", 0),
+    ("test13", "ref_test13.bmp", 5000),
+    ("test14", "ref_test14.bmp", 5),
+    ("test15", "ref_test15.bmp", 200),
+    ("test16", "ref_test16.bmp", 2000),
+    ("test17", "ref_test17.bmp", 0),
 ]
 
 
 def _build(name):
-    import importlib
-    mod = importlib.import_module(f"quadray_tpu.models.scenes.{name}")
-    return mod.build()
+    from quadray_tpu.models.scenes.loader import load_scene
+    return load_scene(name)
 
 
 @pytest.mark.parametrize("name,golden,allowed", CASES)
