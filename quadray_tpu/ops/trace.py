@@ -104,7 +104,9 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     b = jnp.sum((sci * o_l - scjh) * d_l, -1)
     c = _eval_implicit(kind, sci, scjh, sc.s_sciw[None, :], o_l)
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where keeps sqrt's gradient finite on miss lanes
+    sq = jnp.where(disc > 0.0,
+                   jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0)), 0.0)
     # stable b-mixed roots (tracer.cpp:4518-4547): q = -(b + sign(b) sq)
     sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
     q = -(b + sgn_b * sq)
@@ -115,9 +117,23 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     # plane: t = -o_k / d_k (tracer.cpp:4062-4210 in axis-mapped frame)
     t_pl = _safe_div(-o_l[..., 2], d_l[..., 2])
 
+    # two-plane: degenerate hypercylinder i^2 = rat^2 k^2 factorizes into
+    # the planes i -+ rat*k = 0, solved linearly to avoid the quadratic's
+    # catastrophic cancellation (TP_ptr, tracer.cpp:4216-4372)
+    rat = jnp.sqrt(jnp.maximum(-sci[..., 2], 0.0))
+    t_tp1 = _safe_div(-(o_l[..., 0] - rat * o_l[..., 2]),
+                      d_l[..., 0] - rat * d_l[..., 2])
+    t_tp2 = _safe_div(-(o_l[..., 0] + rat * o_l[..., 2]),
+                      d_l[..., 0] + rat * d_l[..., 2])
+
     is_plane = kind == 1
-    root_a = jnp.where(is_plane, t_pl, jnp.where(quad_ok, r1, BIG))
-    root_b = jnp.where(is_plane, BIG, jnp.where(quad_ok, r2, BIG))
+    is_tp = kind == 3
+    root_a = jnp.where(is_plane, t_pl,
+                       jnp.where(is_tp, t_tp1,
+                                 jnp.where(quad_ok, r1, BIG)))
+    root_b = jnp.where(is_plane, BIG,
+                       jnp.where(is_tp, t_tp2,
+                                 jnp.where(quad_ok, r2, BIG)))
     roots = jnp.stack([root_a, root_b], axis=-1)     # (N, NS, 2)
 
     # local + world hit points per root
@@ -274,7 +290,7 @@ def shade(sc: SceneArrays, cfg: TraceConfig, x, p, n, ray_d, srf, side, hit):
         cosr = sdot * jax.lax.rsqrt(jnp.maximum(
             jnp.sum(ray_d * ray_d, -1) * r2, 1e-30))
         spc_on = hm & (sdot > 0.0) & ((props & PROP_SPECULAR) != 0)
-        cosr = jnp.clip(jnp.where(spc_on, cosr, 0.0), 0.0, 1.0)
+        cosr = jnp.clip(jnp.where(spc_on, cosr, 1.0), 1e-6, 1.0)
         spc = jnp.where(spc_on,
                         jnp.power(cosr, sc.m_pow[midx]) * sc.m_spc[midx],
                         0.0)
@@ -303,7 +319,7 @@ def fresnel_terms(sc: SceneArrays, midx, d, n):
     k = 1.0 - eta * eta + (eta * dot) ** 2
     refracts = (props & PROP_REFRACT) != 0
     tir = (k < 0.0) & refracts
-    sq = jnp.sqrt(jnp.maximum(k, 0.0))
+    sq = jnp.where(k > 0.0, jnp.sqrt(jnp.where(k > 0.0, k, 1.0)), 0.0)
     refr_dir = jnp.where(refracts[:, None],
                          eta[:, None] * rhat
                          - n * (eta * dot + sq)[:, None],
@@ -359,6 +375,15 @@ def trace_rays(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
 
     def cond(st):
         return jnp.any(st["active"]) & (st["it"] < cfg.max_segments)
+
+    body = _make_body(sc, cfg, N, D)
+    out = jax.lax.while_loop(cond, body, state)
+    return out["acc"]
+
+
+def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
+    """One bounce of the iterative Whitted loop (shared by the while_loop
+    inference path and the scan-based differentiable path)."""
 
     def body(st):
         act = st["active"]
@@ -444,7 +469,39 @@ def trace_rays(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
         )
         return new
 
-    out = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_rays_diff(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
+    """Differentiable variant of trace_rays: fixed-trip-count scan instead
+    of while_loop so reverse-mode AD works (inverse rendering). Same body;
+    always runs cfg.max_segments iterations."""
+    N = dirs.shape[0]
+    D = cfg.stack
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+    state = dict(
+        org=org.astype(F32), dir=dirs.astype(F32),
+        thr=jnp.ones((N, 3), F32),
+        depth=jnp.zeros((N,), I32),
+        osrf=jnp.full((N,), -1, I32), oside=jnp.ones((N,), I32),
+        thru=jnp.zeros((N,), jnp.bool_),
+        tmin=t_min.astype(F32),
+        active=jnp.ones((N,), jnp.bool_),
+        acc=jnp.zeros((N, 3), F32),
+        sp=jnp.zeros((N,), I32),
+        st_org=jnp.zeros((N, D, 3), F32), st_dir=jnp.zeros((N, D, 3), F32),
+        st_thr=jnp.zeros((N, D, 3), F32), st_depth=jnp.zeros((N, D), I32),
+        st_srf=jnp.zeros((N, D), I32), st_side=jnp.zeros((N, D), I32),
+        it=jnp.zeros((), I32),
+    )
+    body = _make_body(sc, cfg, N, D)
+
+    def scan_body(st, _):
+        return body(st), None
+
+    out, _ = jax.lax.scan(scan_body, state, None, length=cfg.max_segments)
     return out["acc"]
 
 

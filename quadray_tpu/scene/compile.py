@@ -231,20 +231,33 @@ class _Collected:
 _DEFAULT_MAT = S.Material(tex=S.Texture.pcolor(0x808080))
 
 
+class _Slot:
+    """One object slot in an array: its own surface (if any) and, for
+    arrays, the child slots — mirrors the obj_arr indexing the reference's
+    relation rows use (object.cpp:1385-1394)."""
+
+    def __init__(self):
+        self.surface: Optional[int] = None
+        self.children: List["_Slot"] = []
+
+    def all_surfaces(self) -> List[int]:
+        out = [] if self.surface is None else [self.surface]
+        for c in self.children:
+            out.extend(c.all_surfaces())
+        return out
+
+
 def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
     """Recursive hierarchy walk (analog of rt_Array ctor + update_object,
-    object.cpp:1170-1800). Returns, per object slot, the list of *global*
-    surface indices it produced (for relation resolution)."""
-    slot_surfaces: List[List[int]] = []
+    object.cpp:1170-1800). Returns the slot tree for relation resolution."""
+    slots: List[_Slot] = []
     for ob in arr.objects:
         trm = ob.anim(time) if ob.anim is not None else ob.trm
         mtx = parent_mtx @ transform_matrix(trm)
         item = ob.item
-        produced: List[int] = []
+        slot = _Slot()
         if isinstance(item, S.Array):
-            sub = _walk(col, item, mtx, time)
-            for lst in sub:
-                produced.extend(lst)
+            slot.children = _walk(col, item, mtx, time)
         elif isinstance(item, S.Surface):
             mo = ob.mat_outer if ob.mat_outer is not None else \
                 item.side_outer.material
@@ -258,87 +271,83 @@ def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
                 side_outer=item.side_outer, side_inner=item.side_inner,
                 clips=[],
             ))
-            produced.append(idx)
+            slot.surface = idx
         elif isinstance(item, S.Light):
             col.lights.append(dict(lgt=item, mtx=mtx))
         elif isinstance(item, S.Camera):
             col.cameras.append(dict(cam=item, mtx=mtx))
-        slot_surfaces.append(produced)
+        slots.append(slot)
 
-    _apply_relations(col, arr, slot_surfaces)
-    return slot_surfaces
+    _apply_relations(col, arr, slots)
+    return slots
 
 
-def _apply_relations(col: _Collected, arr: S.Array,
-                     slot_surfaces: List[List[int]]):
-    """Resolve rt_RELATION rows into per-surface clip program entries
-    (semantics from rt_Array ctor object.cpp:1376-1587 + add_relation
-    object.cpp:2382-2454): MINUS_INNER/OUTER rows attach clippers; rows with
-    obj1 == -1 accumulate a pending segment that MINUS_ACCUM attaches
-    wrapped in ENTER/LEAVE markers. Arrays as operands expand recursively to
-    their surfaces. INDEX_ARRAY descends one level for the following row."""
-    pending_accum: List[Tuple[int, int]] = []  # (clipper_idx, side)
-    idx1_path: List[int] = []
-    idx2_path: List[int] = []
+def _apply_relations(col: _Collected, arr: S.Array, slots: List[_Slot]):
+    """Resolve rt_RELATION rows into per-surface clip program entries.
 
-    def resolve(slot: int, path: List[int]) -> List[int]:
-        # follow INDEX_ARRAY descents: path picks nested slots
-        objs = slot_surfaces[slot]
-        return list(objs)
+    Semantics from rt_Array ctor (object.cpp:1376-1587) + add_relation
+    (object.cpp:2382-2454):
+      * {a>=0, MINUS_*, b>=0}: every surface under slot a gets a clip by
+        every surface under slot b.
+      * {-1, MINUS_*, b}: open/extend an accumulator segment with b's
+        surfaces; {a, MINUS_ACCUM, -1} closes it and attaches the whole
+        ENTER..members..LEAVE segment to every surface under a.
+      * {a, INDEX_ARRAY, -1} / {-1, INDEX_ARRAY, b}: descend the left /
+        right index context into the named sub-array for following rows;
+        contexts reset after each consuming row.
+      * BOUND/UNTIE rows manage bounding volumes (culling) — no-ops here.
+    """
+    pending_accum: List[Tuple[int, int]] = []
+    acc_open = False
+    ctx_l: List[_Slot] = slots
+    ctx_r: List[_Slot] = slots
 
     for rel in arr.relations:
         r = rel.rel
+        if rel.obj1 >= len(ctx_l) or rel.obj2 >= len(ctx_r):
+            continue
         if r == S.REL_INDEX_ARRAY:
-            # next row's indices address a nested array: the reference keeps
-            # a descent stack (object.cpp:1407-1422); nested arrays already
-            # expand to flat surface lists here, so INDEX_ARRAY only matters
-            # for selecting *individual* sub-objects. Record paths.
-            if rel.obj1 >= 0:
-                idx1_path.append(rel.obj1)
-            if rel.obj2 >= 0:
-                idx2_path.append(rel.obj2)
+            if rel.obj1 >= 0 and ctx_l[rel.obj1].children:
+                ctx_l = ctx_l[rel.obj1].children
+            if rel.obj2 >= 0 and ctx_r[rel.obj2].children:
+                ctx_r = ctx_r[rel.obj2].children
             continue
         if r in (S.REL_BOUND_ARRAY, S.REL_UNTIE_ARRAY,
                  S.REL_BOUND_INDEX, S.REL_UNTIE_INDEX):
-            # bounding-volume culling hints (RT_OPTS_VARRAY) — no-ops for
-            # the brute-force TPU tracer.
-            idx1_path.clear()
-            idx2_path.clear()
+            if rel.obj1 >= 0:
+                ctx_l = slots
+            if rel.obj2 >= 0:
+                ctx_r = slots
             continue
         if r in (S.REL_MINUS_INNER, S.REL_MINUS_OUTER):
             side = +1 if r == S.REL_MINUS_OUTER else -1
+            if rel.obj2 < 0:
+                continue
+            clippers = ctx_r[rel.obj2].all_surfaces()
+            ctx_r = slots
             if rel.obj1 == -1:
-                # open/extend accum segment with obj2's surfaces
-                for ci in _descend(slot_surfaces, rel.obj2, idx2_path):
+                acc_open = True
+                for ci in clippers:
                     pending_accum.append((ci, side))
             else:
-                targets = _descend(slot_surfaces, rel.obj1, idx1_path)
-                clippers = _descend(slot_surfaces, rel.obj2, idx2_path)
-                for ti in targets:
+                for ti in ctx_l[rel.obj1].all_surfaces():
                     for ci in clippers:
                         if ci != ti:
                             col.surfaces[ti]["clips"].append(
                                 (CLIP_SURF, ci, side))
+                ctx_l = slots
         elif r == S.REL_MINUS_ACCUM:
-            targets = _descend(slot_surfaces, rel.obj1, idx1_path)
-            for ti in targets:
+            if rel.obj1 < 0 or not acc_open:
+                continue
+            for ti in ctx_l[rel.obj1].all_surfaces():
                 col.surfaces[ti]["clips"].append((CLIP_ENTER, -1, 0))
                 for (ci, side) in pending_accum:
                     if ci != ti:
                         col.surfaces[ti]["clips"].append((CLIP_SURF, ci, side))
                 col.surfaces[ti]["clips"].append((CLIP_LEAVE, -1, 0))
             pending_accum = []
-        idx1_path.clear()
-        idx2_path.clear()
-
-
-def _descend(slot_surfaces, slot: int, path: List[int]) -> List[int]:
-    if slot < 0:
-        return []
-    # path descent into nested arrays is flattened: selecting a sub-range
-    # would need per-level bookkeeping; current scenes use INDEX_ARRAY with
-    # whole sub-arrays, which expand to all surfaces anyway.
-    return slot_surfaces[slot]
+            acc_open = False
+            ctx_l = slots
 
 
 def _texture_array(tex: S.Texture) -> Optional[np.ndarray]:
@@ -400,7 +409,16 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         inv = jnp.linalg.inv(lin)
         sci, scjh, sciw = quadric_coeffs(srf)
         tags.append(srf.tag)
-        kinds.append(1 if srf.tag == S.TAG_PLANE else 2)
+        # solver kind: 1 plane, 2 quadric, 3 two-plane (degenerate
+        # hypercylinder i^2 = rat^2 k^2, update0 tracer.cpp:5785-5788)
+        if srf.tag == S.TAG_PLANE:
+            kind = 1
+        elif (srf.tag == S.TAG_HYPERCYLINDER
+              and float(np.asarray(srf.hyp)) == 0.0):
+            kind = 3
+        else:
+            kind = 2
+        kinds.append(kind)
         poss.append(pos)
         invs.append(inv)
         scis.append(sci)

@@ -31,10 +31,11 @@ CASES = [
     ("test10", "ref_test10.bmp", 0),
     ("test11", "ref_test11.bmp", 10),
     ("test12", "ref_test12.bmp", 0),
-    ("test13", "ref_test13.bmp", 5000),
+    ("test13", "ref_test13.bmp", 1700),  # TIR-path edge semantics, see
+    # KNOWN_ISSUES.md: glass-slab near-critical total-inner-reflection
     ("test14", "ref_test14.bmp", 5),
-    ("test15", "ref_test15.bmp", 200),
-    ("test16", "ref_test16.bmp", 2000),
+    ("test15", "ref_test15.bmp", 0),
+    ("test16", "ref_test16.bmp", 50),
     ("test17", "ref_test17.bmp", 0),
 ]
 
