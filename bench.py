@@ -23,20 +23,30 @@ def main():
     import jax
     import jax.numpy as jnp
     from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
     from quadray_tpu.scene.compile import compile_scene
     from quadray_tpu.ops.rays import camera_rays
     from quadray_tpu.ops.trace import TraceConfig, trace_rays
+    from quadray_tpu.ops.pallas_kernel import (
+        trace_rays_pallas, kernel_supported)
 
-    sc = compile_scene(load_scene("test01"))
+    sd = load_scene("test01")
+    sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
     org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm,
                              sc.cam_pov, WIDTH, HEIGHT, FSAA)
     n = dirs.shape[0]
     org = jnp.broadcast_to(org1[None, :], (n, 3))
     t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
-    cfg = TraceConfig()
+    cfg = TraceConfig(stack=6)
 
-    fn = jax.jit(lambda sc, org, dirs, t_min:
-                 trace_rays(sc, org, dirs, t_min, cfg))
+    if kernel_supported(sc):
+        print("# path: pallas megakernel", file=sys.stderr)
+        fn = lambda sc, org, dirs, t_min: \
+            trace_rays_pallas(sc, org, dirs, t_min, cfg)
+    else:
+        print("# path: jnp tracer", file=sys.stderr)
+        fn = jax.jit(lambda sc, org, dirs, t_min:
+                     trace_rays(sc, org, dirs, t_min, cfg))
     t0 = time.time()
     out = fn(sc, org, dirs, t_min)
     out.block_until_ready()
