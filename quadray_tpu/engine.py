@@ -56,6 +56,12 @@ class Scene:
         self._arrays: Optional[SceneArrays] = None
         self._time = 0.0
         self.frame = np.zeros((height, width, 3), np.uint8)
+        # progressive path-tracer state (pseed/ptr planes analog,
+        # engine.cpp:2875-2899, 3670-3700)
+        self.pt_on = False
+        self._pt_acc = None
+        self._pt_samples = 0
+        self._pt_seeds = None
 
     # -- update pipeline (phase 0.5-3 analog: recompile scene at time t)
     def update(self, t: float = 0.0):
@@ -71,10 +77,52 @@ class Scene:
             self.update(self._time)
         return self._arrays
 
+    def set_pton(self, on: bool):
+        """Toggle progressive path tracing (set_pton analog,
+        engine.cpp:3729-3742); resets accumulation on enable."""
+        if on and (self.opts & S.OPTS_PT):
+            on = False
+        if on and not self.pt_on:
+            self.reset_pt()
+        self.pt_on = on
+        return self.pt_on
+
+    def reset_pt(self):
+        import jax.numpy as jnp
+        from quadray_tpu.ops.pt import init_seeds
+        n = self.width * self.height
+        self._pt_acc = jnp.zeros((n, 3), jnp.float32)
+        self._pt_samples = 0
+        self._pt_seeds = init_seeds(n)
+
+    def render_pt_pass(self, passes: int = 1) -> np.ndarray:
+        """Accumulate `passes` path-traced samples/pixel; return frame."""
+        import jax.numpy as jnp
+        from quadray_tpu.ops.pt import trace_pt, pt_camera_rays
+        sc = self.arrays
+        if self._pt_acc is None:
+            self.reset_pt()
+        cfg = TraceConfig(depth=self.pfm.depth)
+        for _ in range(passes):
+            org, dirs, self._pt_seeds = pt_camera_rays(
+                sc, self.width, self.height, self._pt_seeds)
+            n = dirs.shape[0]
+            t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+            rad, self._pt_seeds = trace_pt(sc, org, dirs, t_min,
+                                           self._pt_seeds, cfg)
+            self._pt_acc = self._pt_acc + rad
+            self._pt_samples += 1
+        img = jnp.clip(self._pt_acc / max(self._pt_samples, 1), 0.0, 1.0)
+        img = img.reshape(self.height, self.width, 3)
+        self.frame = np.asarray(to_frame(img, sc.use_gamma))
+        return self.frame
+
     def render(self, t: Optional[float] = None) -> np.ndarray:
         """Render a frame at time t; returns (H, W, 3) uint8."""
         if t is not None or self._arrays is None:
             self.update(t if t is not None else self._time)
+        if self.pt_on:
+            return self.render_pt_pass()
         sc = self.arrays
         cfg = TraceConfig(depth=self.pfm.depth)
         img = _render(sc, self.width, self.height, self.pfm.fsaa, cfg)

@@ -70,6 +70,8 @@ class SceneArrays:
     s_cmin: jnp.ndarray    # (NS,3) canonical axis clip min
     s_cmax: jnp.ndarray    # (NS,3) canonical axis clip max
     s_mat: jnp.ndarray     # (NS,2) i32 material index (outer, inner)
+    s_emis: jnp.ndarray    # (NS,2,3) per-side PT emission radiance
+    # (accumulated sibling-light color * 100, object.cpp:1333-1374)
     # clip programs, padded to (NS, NC)
     c_op: jnp.ndarray      # (NS,NC) i32 opcode
     c_ref: jnp.ndarray     # (NS,NC) i32 clipper surface index
@@ -251,6 +253,15 @@ def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
     """Recursive hierarchy walk (analog of rt_Array ctor + update_object,
     object.cpp:1170-1800). Returns the slot tree for relation resolution."""
     slots: List[_Slot] = []
+    # accumulate sibling lights' color for emissive surfaces in this array
+    # (rt_Light ctor object.cpp:622-632: col*(src+amb) summed into parent)
+    lacc = np.zeros((3,), np.float32)
+    direct_surfaces: List[int] = []
+    for ob in arr.objects:
+        item = ob.item
+        if isinstance(item, S.Light):
+            lacc += _unpack_color(item.col) * (
+                float(np.asarray(item.src)) + float(np.asarray(item.amb)))
     for ob in arr.objects:
         trm = ob.anim(time) if ob.anim is not None else ob.trm
         mtx = parent_mtx @ transform_matrix(trm)
@@ -269,14 +280,23 @@ def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
                 mat_outer=col.material_index(mo),
                 mat_inner=col.material_index(mi),
                 side_outer=item.side_outer, side_inner=item.side_inner,
-                clips=[],
+                clips=[], emis=np.zeros((2, 3), np.float32),
             ))
             slot.surface = idx
+            direct_surfaces.append(idx)
         elif isinstance(item, S.Light):
             col.lights.append(dict(lgt=item, mtx=mtx))
         elif isinstance(item, S.Camera):
             col.cameras.append(dict(cam=item, mtx=mtx))
         slots.append(slot)
+
+    # emissive PT radiance for LIGHT-tagged sides of direct child surfaces
+    for si in direct_surfaces:
+        sd = col.surfaces[si]
+        for k, mk in ((0, "mat_outer"), (1, "mat_inner")):
+            mat = col.materials[sd[mk]]
+            if mat.tag == S.MAT_LIGHT:
+                sd["emis"][k] = lacc * 100.0
 
     _apply_relations(col, arr, slots)
     return slots
@@ -550,6 +570,10 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         s_cmin=pad_f(cmins, (3,)), s_cmax=pad_f(cmaxs, (3,)),
         s_mat=jnp.asarray(np.array(
             mats + [(0, 0)] * (NS - n_srf), np.int32)),
+        s_emis=jnp.asarray(np.concatenate(
+            [np.stack([sd["emis"] for sd in col.surfaces])]
+            + ([np.zeros((NS - n_srf, 2, 3), np.float32)]
+               if NS > n_srf else []), axis=0)),
         c_op=jnp.asarray(cops), c_ref=jnp.asarray(crefs),
         c_side=jnp.asarray(csides),
         m_props=jnp.asarray(m_props), m_col=jnp.asarray(m_col),

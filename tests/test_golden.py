@@ -37,6 +37,7 @@ CASES = [
     ("test15", "ref_test15.bmp", 0),
     ("test16", "ref_test16.bmp", 50),
     ("test17", "ref_test17.bmp", 0),
+    ("test18", "ref_test18.bmp", 300),  # Whitted-mode Cornell box
 ]
 
 
