@@ -49,6 +49,8 @@ from quadray_tpu.scene.compile import (
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = jnp.float32(1e30)
+D_EPS = 1e-11   # RT_DEPS_THRESHOLD (object.h:41): near-zero determinant
+T_EPS = 1e-7    # RT_TEPS_THRESHOLD (object.h:42): root sorting / apex nudge
 
 
 class TraceConfig(NamedTuple):
@@ -103,50 +105,108 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     a = jnp.sum(sci * d_l * d_l, -1)
     b = jnp.sum((sci * o_l - scjh) * d_l, -1)
     c = _eval_implicit(kind, sci, scjh, sc.s_sciw[None, :], o_l)
-    disc = b * b - a * c
-    # double-where keeps sqrt's gradient finite on miss lanes
-    sq = jnp.where(disc > 0.0,
-                   jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0)), 0.0)
-    # stable b-mixed roots (tracer.cpp:4518-4547): q = -(b + sign(b) sq)
-    sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
-    q = -(b + sgn_b * sq)
-    r1 = _safe_div(q, a)
-    r2 = _safe_div(c, q)
-    quad_ok = disc >= 0.0
-
-    # plane: t = -o_k / d_k (tracer.cpp:4062-4210 in axis-mapped frame)
-    t_pl = _safe_div(-o_l[..., 2], d_l[..., 2])
-
-    # two-plane: degenerate hypercylinder i^2 = rat^2 k^2 factorizes into
-    # the planes i -+ rat*k = 0, solved linearly to avoid the quadratic's
-    # catastrophic cancellation (TP_ptr, tracer.cpp:4216-4372)
-    rat = jnp.sqrt(jnp.maximum(-sci[..., 2], 0.0))
-    t_tp1 = _safe_div(-(o_l[..., 0] - rat * o_l[..., 2]),
-                      d_l[..., 0] - rat * d_l[..., 2])
-    t_tp2 = _safe_div(-(o_l[..., 0] + rat * o_l[..., 2]),
-                      d_l[..., 0] + rat * d_l[..., 2])
 
     is_plane = kind == 1
     is_tp = kind == 3
-    root_a = jnp.where(is_plane, t_pl,
-                       jnp.where(is_tp, t_tp1,
-                                 jnp.where(quad_ok, r1, BIG)))
-    root_b = jnp.where(is_plane, BIG,
-                       jnp.where(is_tp, t_tp2,
-                                 jnp.where(quad_ok, r2, BIG)))
+
+    # determinant; for the degenerate two-plane (hypercylinder with hyp=0,
+    # i^2 = rat^2 k^2) the reference computes it in exact factored form
+    # |sci_i*sci_k|*(dff_i*ray_k - dff_k*ray_i)^2 (TP_ptr "d" section,
+    # tracer.cpp:4239-4246), sidestepping b^2-a*c cancellation
+    cross = (o_l[..., 0] * d_l[..., 2] - o_l[..., 2] * d_l[..., 0])
+    disc_tp = jnp.abs(sci[..., 0] * sci[..., 2]) * cross * cross
+    disc = jnp.where(is_tp, disc_tp, b * b - a * c)
+    quad_ok = disc >= 0.0
+    # double-where keeps sqrt's gradient finite on miss lanes
+    sq = jnp.where(disc > 0.0,
+                   jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0)), 0.0)
+    # stable b-mixed roots (tracer.cpp:4518-4547): q = -(b + sign(b) sq);
+    # the ENTERING root (F' = -2|sq| < 0, i.e. the outer-side hit) is
+    # q/a when b > 0 else c/q — assigned structurally, never re-derived
+    # from the gradient at the hit point (QD_rc1/QD_rc2 always bind root 1
+    # to SIDE_OUTER and root 2 to SIDE_INNER, tracer.cpp:4695-4820)
+    sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
+    q = -(b + sgn_b * sq)
+    b_pos = b > 0.0
+
+    def _root(num, den):
+        """nan-root handling (tracer.cpp:4585-4600): zero numerator ->
+        root 0; zero denominator (nonzero numerator) -> invalid."""
+        nz = num == 0.0
+        den = jnp.where(nz, 1.0, den)
+        ok = den != 0.0
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), BIG), ok
+
+    t1, ok1 = _root(jnp.where(b_pos, q, c), jnp.where(b_pos, a, q))
+    t2, ok2 = _root(jnp.where(b_pos, c, q), jnp.where(b_pos, q, a))
+
+    # root sorting for near-zero determinant (tracer.cpp:4572-4623):
+    # when 0 <= d < D_EPS and the roots are out of order w.r.t. sign(a),
+    # replace them by mid -+ |T_EPS*t1| so outer stays in front
+    dmask = quad_ok & (disc < D_EPS) & ~is_plane
+    sgn_a = jnp.where(a >= 0.0, 1.0, -1.0)
+    u = (t1 - t2) * sgn_a
+    fm = u >= 0.0
+    tdff = jnp.where(fm, -0.5 * u - jnp.abs(T_EPS * t1), 0.0) * sgn_a
+    tdff = jnp.where(dmask & ok1 & ok2, tdff, 0.0)
+    t1 = t1 + tdff
+    t2 = t2 - tdff
+
+    # plane: t = -o_k / d_k (tracer.cpp:4062-4210 in axis-mapped frame);
+    # side from ray direction against +K (outer/inner split PL_ptr)
+    t_pl = _safe_div(-o_l[..., 2], d_l[..., 2])
+
+    root_a = jnp.where(is_plane, t_pl, jnp.where(quad_ok & ok1, t1, BIG))
+    root_b = jnp.where(is_plane, BIG, jnp.where(quad_ok & ok2, t2, BIG))
     roots = jnp.stack([root_a, root_b], axis=-1)     # (N, NS, 2)
+
+    # structural side per root: slot 0 = outer (+1), slot 1 = inner (-1);
+    # planes take the ray-vs-K sign for their single root
+    side_pl = jnp.where(d_l[..., 2] < 0.0, 1, -1)
+    side_q = jnp.broadcast_to(jnp.array([1, -1], jnp.int32), roots.shape)
+    side_r = jnp.where(is_plane[..., None], side_pl[..., None], side_q)
 
     # local + world hit points per root
     p_r = o_l[:, :, None, :] + roots[..., None] * d_l[:, :, None, :]
     x_r = org[:, None, None, :] + roots[..., None] * dirs[:, None, None, :]
 
-    # side per root: gradient g = sci p - scjh (plane: +K); the ray hits the
-    # outer side iff it travels against the gradient (d.g < 0)
+    # conic singularity solver (CC_glb, tracer.cpp:1706-1860): when the
+    # determinant was near zero and the hit lies within sqrt(T_EPS) of the
+    # apex of a cone-like surface, the point used for clipping (and the
+    # normal/UV derived from it) is replaced by a T_EPS-sized nudge from
+    # the apex along the surface toward the ray origin, with side- and
+    # sign(a)-dependent sign flips
+    if True:
+        sing = sc.s_sing[None, :, None]              # (1, NS, 1)
+        cyl = sing == 2
+        r2loc = jnp.sum(p_r * p_r, -1)
+        hm = (sing > 0) & dmask[..., None] & (r2loc < T_EPS)
+        sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+        o3 = o_l[:, :, None, :]
+        ratio = jnp.abs(_safe_div(
+            sci[..., 0] + jnp.where(cyl[..., 0], 0.0, sci[..., 1]),
+            sci[..., 2], 0.0))[..., None]            # (N?, NS, 1)
+        ratio = jnp.broadcast_to(ratio, hm.shape)
+        acc = jnp.where(cyl, 1.0, 2.0)
+        inv_r = T_EPS * jax.lax.rsqrt(jnp.maximum(ratio + acc, 1e-30))
+        inner = side_r < 0
+        a_neg = (a < 0.0)[..., None]
+        ij_flip = jnp.where(inner & ~a_neg, -1.0, 1.0)
+        k_flip = jnp.where(~inner & a_neg, -1.0, 1.0)
+        adj_i = sgn(o3[..., 0]) * ij_flip * inv_r
+        adj_j = jnp.where(cyl, 0.0, sgn(o3[..., 1]) * ij_flip * inv_r)
+        adj_k = (sgn(o3[..., 2]) * k_flip * jnp.sqrt(ratio) * inv_r)
+        adj = jnp.stack([adj_i, adj_j, adj_k], axis=-1)
+        p_r = jnp.where(hm[..., None], adj, p_r)
+        x_adj = sc.s_pos[None, :, None, :] + jnp.einsum(
+            'sij,nsrj->nsri', sc.s_fwd, adj)
+        x_r = jnp.where(hm[..., None], x_adj, x_r)
+
+    # gradient at the (possibly adjusted) hit point: g = sci p - scjh
+    # (plane: +K); drives the shading normal
     g_r = jnp.where(is_plane[..., None, None],
                     jnp.array([0.0, 0.0, 1.0], F32),
                     sci[:, :, None, :] * p_r - scjh[:, :, None, :])
-    ddotg = jnp.sum(d_l[:, :, None, :] * g_r, -1)
-    side_r = jnp.where(ddotg < 0.0, 1, -1)           # (N, NS, 2) i32
 
     # validity: t window (strict, tracer.cpp CC_clp depth test)
     valid = (roots > t_min[:, None, None]) & (roots < t_max[:, None, None])

@@ -61,9 +61,12 @@ class SceneArrays:
 
     # surfaces, padded to NS
     s_tag: jnp.ndarray     # (NS,) i32 surface tag, -1 = pad
-    s_kind: jnp.ndarray    # (NS,) i32 0=pad 1=plane 2=quadric
+    s_kind: jnp.ndarray    # (NS,) i32 0=pad 1=plane 2=quadric 3=two-plane
+    s_sing: jnp.ndarray    # (NS,) i32 conic-singularity flag (msc_p[1],
+    # update0 tracer.cpp:5801-5807): 1=cone-like apex, 2=deg. hypercylinder
     s_pos: jnp.ndarray     # (NS,3) world position of local origin
     s_inv: jnp.ndarray     # (NS,3,3) world->canonical linear map
+    s_fwd: jnp.ndarray     # (NS,3,3) canonical->world linear map
     s_sci: jnp.ndarray     # (NS,3) quadratic coeffs
     s_scjh: jnp.ndarray    # (NS,3) halved linear coeffs
     s_sciw: jnp.ndarray    # (NS,) constant coeff
@@ -416,8 +419,9 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
     NM = max(1, len(col.materials))
 
     # ---- surfaces
-    tags, kinds = [], []
-    poss, invs, scis, scjhs, sciws, cmins, cmaxs, mats = ([] for _ in range(8))
+    tags, kinds, sings = [], [], []
+    poss, invs, fwds, scis, scjhs, sciws, cmins, cmaxs, mats = (
+        [] for _ in range(9))
     cops = np.zeros((NS, NC), np.int32)
     crefs = np.full((NS, NC), -1, np.int32)
     csides = np.zeros((NS, NC), np.float32)
@@ -439,8 +443,22 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         else:
             kind = 2
         kinds.append(kind)
+        # conic-singularity flag (msc_p[1], update0 tracer.cpp:5801-5807):
+        # surfaces whose implicit passes through their local origin with a
+        # singular gradient need the apex clip-point adjustment
+        if srf.tag == S.TAG_CONE or (
+                srf.tag == S.TAG_HYPERBOLOID
+                and float(np.asarray(srf.hyp)) == 0.0):
+            sing = 1
+        elif (srf.tag == S.TAG_HYPERCYLINDER
+              and float(np.asarray(srf.hyp)) == 0.0):
+            sing = 2
+        else:
+            sing = 0
+        sings.append(sing)
         poss.append(pos)
         invs.append(inv)
+        fwds.append(lin)
         scis.append(sci)
         scjhs.append(scjh)
         sciws.append(sciw)
@@ -463,6 +481,8 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
     s_tag[:n_srf] = tags
     s_kind = np.zeros((NS,), np.int32)
     s_kind[:n_srf] = kinds
+    s_sing = np.zeros((NS,), np.int32)
+    s_sing[:n_srf] = sings
 
     # ---- materials + texture atlas
     m_props = np.zeros((NM,), np.int32)
@@ -564,7 +584,9 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
 
     return SceneArrays(
         s_tag=jnp.asarray(s_tag), s_kind=jnp.asarray(s_kind),
+        s_sing=jnp.asarray(s_sing),
         s_pos=pad_f(poss, (3,)), s_inv=pad_f(invs, (3, 3)),
+        s_fwd=pad_f(fwds, (3, 3)),
         s_sci=pad_f(scis, (3,)), s_scjh=pad_f(scjhs, (3,)),
         s_sciw=pad_f([jnp.reshape(s, ()) for s in sciws], ()),
         s_cmin=pad_f(cmins, (3,)), s_cmax=pad_f(cmaxs, (3,)),
