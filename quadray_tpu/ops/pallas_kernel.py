@@ -37,7 +37,7 @@ F32 = jnp.float32
 I32 = jnp.int32
 BIG = 1e30
 
-SUB = 32          # sublanes per block -> block = SUB*128 rays
+SUB = 64          # sublanes per block -> block = SUB*128 rays
 LANES = 128
 BLOCK = SUB * LANES
 
