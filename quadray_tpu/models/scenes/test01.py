@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from quadray_tpu.scene.schema import (
     SceneDef, Array, Relation, Plane, Sphere, Hyperboloid, Side, obj,
-    REL_MINUS_OUTER, OPTS_NONE, INF)
+    REL_MINUS_OUTER, OPTS_PT, INF)
 from quadray_tpu.models import materials as M
 from quadray_tpu.models.objects import cm_camera01, lt_light01, sp_bulb01
 
@@ -53,4 +53,5 @@ def build() -> SceneDef:
             Relation(1, REL_MINUS_OUTER, 2),
         ])
 
-    return SceneDef(root=tree, opts=OPTS_NONE)
+    # RT_OPTS_PT only (scn_test01.h:200-202): gamma+fresnel stay ON
+    return SceneDef(root=tree, opts=OPTS_PT)

@@ -49,6 +49,11 @@ from quadray_tpu.scene.compile import (
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = jnp.float32(1e30)
+# All geometry einsums must run at full fp32: XLA:TPU's default matmul
+# precision uses bf16 MXU passes, which visibly corrupts ray-space
+# transforms (measured: 2521 bad px on test01 at default precision, 0 at
+# HIGHEST). K=3 contractions are VPU-cheap anyway.
+P_HI = jax.lax.Precision.HIGHEST
 D_EPS = 1e-11   # RT_DEPS_THRESHOLD (object.h:41): near-zero determinant
 T_EPS = 1e-7    # RT_TEPS_THRESHOLD (object.h:42): root sorting / apex nudge
 
@@ -94,8 +99,8 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     NS = sc.s_pos.shape[0]
     # world->canonical: o_l, d_l (N, NS, 3)
     rel = org[:, None, :] - sc.s_pos[None, :, :]
-    o_l = jnp.einsum('sij,nsj->nsi', sc.s_inv, rel)
-    d_l = jnp.einsum('sij,nj->nsi', sc.s_inv, dirs)
+    o_l = jnp.einsum('sij,nsj->nsi', sc.s_inv, rel, precision=P_HI)
+    d_l = jnp.einsum('sij,nj->nsi', sc.s_inv, dirs, precision=P_HI)
 
     sci = sc.s_sci[None, :, :]
     scjh = sc.s_scjh[None, :, :]
@@ -199,7 +204,7 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
         adj = jnp.stack([adj_i, adj_j, adj_k], axis=-1)
         p_r = jnp.where(hm[..., None], adj, p_r)
         x_adj = sc.s_pos[None, :, None, :] + jnp.einsum(
-            'sij,nsrj->nsri', sc.s_fwd, adj)
+            'sij,nsrj->nsri', sc.s_fwd, adj, precision=P_HI)
         x_r = jnp.where(hm[..., None], x_adj, x_r)
 
     # gradient at the (possibly adjusted) hit point: g = sci p - scjh
@@ -228,7 +233,8 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
         sidej = sc.c_side[:, j]
         # clipper's implicit value at the candidate hit point
         pc = jnp.einsum('sij,nsrj->nsri', sc.s_inv[refj],
-                        x_r - sc.s_pos[refj][None, :, None, :])
+                        x_r - sc.s_pos[refj][None, :, None, :],
+                        precision=P_HI)
         v = _eval_implicit(sc.s_kind[refj][None, :, None],
                            sc.s_sci[refj][None, :, None, :],
                            sc.s_scjh[refj][None, :, None, :],
@@ -281,7 +287,7 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
 
     # world normal: n = inv^T g, normalized, flipped to the hit side
     inv_s = sc.s_inv[bs]                             # (N, 3, 3)
-    n_w = jnp.einsum('nji,nj->ni', inv_s, g)
+    n_w = jnp.einsum('nji,nj->ni', inv_s, g, precision=P_HI)
     n_w = n_w * side[:, None].astype(F32)
     n_w = n_w * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(n_w * n_w, -1, keepdims=True), 1e-30))

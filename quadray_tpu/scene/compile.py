@@ -27,6 +27,7 @@ import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import chex
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,12 +145,34 @@ def transform_matrix(trm: S.Transform3D):
         jnp.stack([szn, cz, zero]),
         jnp.stack([zero, zero, one])])
     scl = jnp.diag(jnp.stack([sx, sy, sz]))
-    lin = rz @ ry @ rx @ scl
+    # full-precision matmuls: XLA:TPU's default would use bf16 MXU passes
+    # and corrupt the world->canonical transforms (see ops/trace.py P_HI)
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    lin = mm(mm(mm(rz, ry), rx), scl)
     m = jnp.zeros((4, 4), F32)
     m = m.at[:3, :3].set(lin)
     m = m.at[:3, 3].set(jnp.stack([px, py, pz]))
     m = m.at[3, 3].set(1.0)
     return m
+
+
+def _inv3(m):
+    """Closed-form 3x3 inverse (adjugate/det). Elementwise only: keeps the
+    scene compile off the MXU so TPU runs get full fp32 (matches the
+    reference's matrix_inverse, rtgeom.cpp:167)."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    A = e * i - f * h
+    B = f * g - d * i
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack([
+        jnp.stack([A, c * h - b * i, b * f - c * e]),
+        jnp.stack([B, a * i - c * g, c * d - a * f]),
+        jnp.stack([C, b * g - a * h, a * e - b * d])])
+    return adj / det
 
 
 def quadric_coeffs(srf: S.Surface):
@@ -267,7 +290,8 @@ def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
                 float(np.asarray(item.src)) + float(np.asarray(item.amb)))
     for ob in arr.objects:
         trm = ob.anim(time) if ob.anim is not None else ob.trm
-        mtx = parent_mtx @ transform_matrix(trm)
+        mtx = jnp.matmul(parent_mtx, transform_matrix(trm),
+                         precision=jax.lax.Precision.HIGHEST)
         item = ob.item
         slot = _Slot()
         if isinstance(item, S.Array):
@@ -430,7 +454,7 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         mtx = sd["mtx"]
         lin = mtx[:3, :3]
         pos = mtx[:3, 3]
-        inv = jnp.linalg.inv(lin)
+        inv = _inv3(lin)
         sci, scjh, sciw = quadric_coeffs(srf)
         tags.append(srf.tag)
         # solver kind: 1 plane, 2 quadric, 3 two-plane (degenerate
