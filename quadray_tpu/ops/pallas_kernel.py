@@ -5,15 +5,25 @@ keeps 4-16 rays in SIMD registers and walks pointer lists, this kernel
 keeps a (SUB, 128) tile of rays on-chip, loops surfaces with per-surface
 scalars prefetched to SMEM (fori_loop, dynamic scalar reads — the analog
 of the reference's Rebx surface-pointer walk), and runs the iterative
-branch-stack Whitted loop (identical semantics to ops/trace.py, the
+branch-stack Whitted loop with semantics IDENTICAL to ops/trace.py (the
 differentially-tested reference implementation): one HBM read of the rays
 and one write of the colors per block.
 
-v1 scope: plane/quadric/two-plane solvers, axis clips + custom clip
-programs (boolean accum), hard shadows with the CHECK_SHAD blocker rule,
-ambient/diffuse/specular with metal/plain blending, reflections and
-refractions with exact Fresnel + TIR. Plain-color materials only —
-textured scenes fall back to the jnp path (see kernel_supported).
+Root semantics ported 1:1 from ops/trace.py (itself matching
+tracer.cpp:4378-4623):
+  * stable b-mixed Vieta roots with the nan-root rule (zero numerator ->
+    root 0; zero denominator -> invalid),
+  * structural sides (slot a = outer/entering, slot b = inner/leaving;
+    planes take the ray-vs-K sign),
+  * two-plane degenerate determinant in exact factored form,
+  * near-zero-determinant root sorting with D_EPS/T_EPS,
+  * conic-singularity apex adjustment of the clip/normal point.
+
+VMEM budget: the while-loop carry holds ~18 ray tiles plus a branch stack
+of cfg.stack x 12 (SUB, 128) f32 tiles; at SUB=64, stack=10 that is
+~4.6 MB before temporaries (v5e VMEM ~64 MB/core, but Mosaic reserves
+most of it for spills). trace_rays_auto falls back to the jnp path if
+Mosaic fails to compile.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ from quadray_tpu.scene.compile import (
     SceneArrays, PROP_LIGHT, PROP_METAL, PROP_OPAQUE, PROP_REFRACT,
     PROP_DIFFUSE, PROP_SPECULAR, PROP_TEXTURE, PROP_FRESNEL, PROP_TRANSP,
     PROP_GAMMA, CLIP_SURF, CLIP_ENTER, CLIP_LEAVE)
-from quadray_tpu.ops.trace import TraceConfig
+from quadray_tpu.ops.trace import TraceConfig, D_EPS, T_EPS
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -41,7 +51,8 @@ SUB = 64          # sublanes per block -> block = SUB*128 rays
 LANES = 128
 BLOCK = SUB * LANES
 
-PF = 25           # per-surface floats
+PF = 34           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
+#                   scjh 15-17, sciw 18, cmin 19-21, cmax 22-24, fwd 25-33
 CF = 22           # per-clip-entry floats
 MF = 10           # per-material floats
 LF = 10           # per-light floats
@@ -49,7 +60,7 @@ LF = 10           # per-light floats
 
 class PackedScene(NamedTuple):
     sp_f: jnp.ndarray    # (NS, PF) f32
-    sp_i: jnp.ndarray    # (NS, 4) i32: kind, mat_outer, mat_inner, pad
+    sp_i: jnp.ndarray    # (NS, 5) i32: kind, mat_outer, mat_inner, blk, sing
     cl_f: jnp.ndarray    # (NS, NC*CF) f32 pre-gathered clip tables
     mat_f: jnp.ndarray   # (NM, MF) f32
     mat_i: jnp.ndarray   # (NM, 1) i32 props
@@ -64,6 +75,7 @@ def pack_scene(sc: SceneArrays) -> PackedScene:
         sc.s_pos, sc.s_inv.reshape(NS, 9), sc.s_sci, sc.s_scjh,
         sc.s_sciw[:, None],
         jnp.clip(sc.s_cmin, -BIG, BIG), jnp.clip(sc.s_cmax, -BIG, BIG),
+        sc.s_fwd.reshape(NS, 9),
     ], axis=1).astype(F32)
     # per-surface shadow-blocker flags (CHECK_SHAD rule, evaluated on the
     # host per material): bit0 = outer side blocks, bit1 = inner side
@@ -75,7 +87,7 @@ def pack_scene(sc: SceneArrays) -> PackedScene:
            + 2 * mat_blocks[sc.s_mat[:, 1]])
     sp_i = jnp.concatenate([
         sc.s_kind[:, None], sc.s_mat,
-        blk[:, None]], axis=1).astype(I32)
+        blk[:, None], sc.s_sing[:, None]], axis=1).astype(I32)
     ref = jnp.maximum(sc.c_ref, 0)
     cl_f = jnp.concatenate([
         sc.s_pos[ref], sc.s_inv[ref].reshape(NS, NC, 9), sc.s_sci[ref],
@@ -99,14 +111,23 @@ def pack_scene(sc: SceneArrays) -> PackedScene:
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
-    """Textured materials need the jnp path's gather (v1 limitation)."""
+    """Textured materials need the jnp path's gather (v2 limitation)."""
     props = np.asarray(sc.m_props)
     return not bool((props & PROP_TEXTURE).any())
 
 
-def _sdiv(num, den):
+def _sdiv(num, den, fallback=BIG):
     bad = jnp.abs(den) < 1e-30
-    return jnp.where(bad, BIG, num / jnp.where(bad, 1.0, den))
+    return jnp.where(bad, fallback, num / jnp.where(bad, 1.0, den))
+
+
+def _root(num, den):
+    """nan-root handling (tracer.cpp:4585-4600, = trace.py _root): zero
+    numerator -> root 0; zero denominator (nonzero numerator) -> invalid."""
+    nz = num == 0.0
+    den = jnp.where(nz, 1.0, den)
+    ok = den != 0.0
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), BIG), ok
 
 
 def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
@@ -127,7 +148,10 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                 jx=g(15), jy=g(16), jz=g(17), sw=g(18),
                 n0=g(19), n1=g(20), n2=g(21),
                 x0=g(22), x1=g(23), x2=g(24),
-                kind=sp_i[s, 0], mo=sp_i[s, 1], mi=sp_i[s, 2])
+                f00=g(25), f01=g(26), f02=g(27), f10=g(28), f11=g(29),
+                f12=g(30), f20=g(31), f21=g(32), f22=g(33),
+                kind=sp_i[s, 0], mo=sp_i[s, 1], mi=sp_i[s, 2],
+                blk=sp_i[s, 3], sing=sp_i[s, 4])
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -161,11 +185,15 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
         def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
                       osrf, oside, thru, shadow, wmask):
             """fori over surfaces; carry = best hit state. In shadow mode
-            the carry degenerates to an occlusion mask."""
+            the carry degenerates to an occlusion mask. Semantics match
+            trace.py intersect() 1:1."""
 
             def per_surface(s, carry):
                 P = surf(s)
                 kind = P["kind"]
+                is_pl = kind == 1
+                is_tp = kind == 3
+                live = kind > 0
                 lx, ly, lz = to_local(P, ox, oy, oz)
                 ex, ey, ez = lin(P, dx, dy, dz)
                 a = (P["sx"] * ex * ex + P["sy"] * ey * ey
@@ -174,42 +202,118 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                      + (P["sy"] * ly - P["jy"]) * ey
                      + (P["sz"] * lz - P["jz"]) * ez)
                 c = implicit(P, False, lx, ly, lz)
-                disc = b * b - a * c
+                # two-plane exact factored determinant (tracer.cpp:4239-46)
+                cross = lx * ez - lz * ex
+                disc_tp = jnp.abs(P["sx"] * P["sz"]) * cross * cross
+                disc = jnp.where(is_tp, disc_tp, b * b - a * c)
+                quad_ok = disc >= 0.0
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                qq = -(b + jnp.where(b >= 0.0, 1.0, -1.0) * sq)
-                ok = disc >= 0.0
-                r1 = jnp.where(ok, _sdiv(qq, a), BIG)
-                r2 = jnp.where(ok, _sdiv(c, qq), BIG)
-                t_pl = _sdiv(-lz, ez)
-                rat = jnp.sqrt(jnp.maximum(-P["sz"], 0.0))
-                tp1 = _sdiv(-(lx - rat * lz), ex - rat * ez)
-                tp2 = _sdiv(-(lx + rat * lz), ex + rat * ez)
-                is_pl = kind == 1
-                is_tp = kind == 3
-                live = kind > 0
-                t1 = jnp.where(is_pl, t_pl, jnp.where(is_tp, tp1, r1))
-                t2 = jnp.where(is_pl, BIG, jnp.where(is_tp, tp2, r2))
+                # stable b-mixed roots (tracer.cpp:4518-4547): slot a =
+                # entering/outer, slot b = leaving/inner, structurally
+                sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
+                q = -(b + sgn_b * sq)
+                b_pos = b > 0.0
+                t1, ok1 = _root(jnp.where(b_pos, q, c),
+                                jnp.where(b_pos, a, q))
+                t2, ok2 = _root(jnp.where(b_pos, c, q),
+                                jnp.where(b_pos, q, a))
+                # near-zero-determinant root sorting (tracer.cpp:4572-4623)
+                dmask = quad_ok & (disc < D_EPS) & ~is_pl
+                sgn_a = jnp.where(a >= 0.0, 1.0, -1.0)
+                u = (t1 - t2) * sgn_a
+                fm = u >= 0.0
+                tdff = jnp.where(fm, -0.5 * u - jnp.abs(T_EPS * t1),
+                                 0.0) * sgn_a
+                tdff = jnp.where(dmask & ok1 & ok2, tdff, 0.0)
+                t1 = t1 + tdff
+                t2 = t2 - tdff
 
-                def consider(t, carry):
-                    hx, hy, hz = lx + t * ex, ly + t * ey, lz + t * ez
+                # plane root + ray-sign side (tracer.cpp:4062-4210)
+                t_pl = _sdiv(-lz, ez)
+                side_pl = jnp.where(ez < 0.0, 1, -1).astype(I32)
+                # division-free t-window for plane roots (TPU f32 div is
+                # not correctly rounded; see trace.py win_pl)
+                pos_d = ez > 0.0
+                tmin_d = tmn * ez
+                tmax_d = tmx * ez
+                # bool selects as logical ops (no i1 select_n in Mosaic)
+                win_pl = (ez != 0.0) \
+                    & ((pos_d & (-lz > tmin_d)) | (~pos_d & (-lz < tmin_d))) \
+                    & ((pos_d & (-lz < tmax_d)) | (~pos_d & (-lz > tmax_d)))
+
+                root_a = jnp.where(is_pl, t_pl,
+                                   jnp.where(quad_ok & ok1, t1, BIG))
+                root_b = jnp.where(is_pl, BIG,
+                                   jnp.where(quad_ok & ok2, t2, BIG))
+                side_a = jnp.where(is_pl, side_pl, 1).astype(I32)
+                side_b = jnp.full_like(side_pl, -1)
+
+                # conic-singularity scalars (CC_glb, tracer.cpp:1706-1860)
+                sing = P["sing"]
+                cyl = sing == 2
+                ratio_n = P["sx"] + jnp.where(cyl, 0.0, P["sy"])
+                bad_rz = jnp.abs(P["sz"]) < 1e-30
+                ratio = jnp.abs(jnp.where(bad_rz, 0.0,
+                                          ratio_n / jnp.where(bad_rz, 1.0,
+                                                              P["sz"])))
+                acc_c = jnp.where(cyl, 1.0, 2.0)
+                inv_r = T_EPS * jax.lax.rsqrt(
+                    jnp.maximum(ratio + acc_c, 1e-30))
+                sqrt_ratio = jnp.sqrt(ratio)
+                sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
+
+                def hitdata(t, side, inner):
+                    """Hit point (with apex adjustment), world point,
+                    gradient — per root slot. `inner` is a Python bool
+                    (slot b); planes never trigger the singularity."""
+                    hx = lx + t * ex
+                    hy = ly + t * ey
+                    hz = lz + t * ez
+                    wx = ox + t * dx
+                    wy = oy + t * dy
+                    wz = oz + t * dz
+                    if True:  # singularity adjust (gated by sing>0)
+                        r2loc = hx * hx + hy * hy + hz * hz
+                        hm = (sing > 0) & dmask & (r2loc < T_EPS)
+                        a_neg = a < 0.0
+                        if inner:
+                            ij_flip = jnp.where(~a_neg, -1.0, 1.0)
+                            k_flip = 1.0
+                        else:
+                            ij_flip = 1.0
+                            k_flip = jnp.where(a_neg, -1.0, 1.0)
+                        adj_i = sgn(lx) * ij_flip * inv_r
+                        adj_j = jnp.where(cyl, 0.0,
+                                          sgn(ly) * ij_flip * inv_r)
+                        adj_k = sgn(lz) * k_flip * sqrt_ratio * inv_r
+                        hx = jnp.where(hm, adj_i, hx)
+                        hy = jnp.where(hm, adj_j, hy)
+                        hz = jnp.where(hm, adj_k, hz)
+                        awx = (P["px"] + P["f00"] * adj_i
+                               + P["f01"] * adj_j + P["f02"] * adj_k)
+                        awy = (P["py"] + P["f10"] * adj_i
+                               + P["f11"] * adj_j + P["f12"] * adj_k)
+                        awz = (P["pz"] + P["f20"] * adj_i
+                               + P["f21"] * adj_j + P["f22"] * adj_k)
+                        wx = jnp.where(hm, awx, wx)
+                        wy = jnp.where(hm, awy, wy)
+                        wz = jnp.where(hm, awz, wz)
                     gx = jnp.where(is_pl, 0.0, P["sx"] * hx - P["jx"])
                     gy = jnp.where(is_pl, 0.0, P["sy"] * hy - P["jy"])
                     gz = jnp.where(is_pl, 1.0, P["sz"] * hz - P["jz"])
-                    ddotg = ex * gx + ey * gy + ez * gz
-                    side = jnp.where(ddotg < 0.0, 1, -1)
-                    v = wmask & live & (t > tmn) & (t < tmx) & (t < BIG)
+                    return hx, hy, hz, wx, wy, wz, gx, gy, gz
+
+                def validity(t, side, hx, hy, hz, wx, wy, wz,
+                             plane_slot=False):
+                    win = (t > tmn) & (t < tmx)
+                    if plane_slot:
+                        win = (is_pl & win_pl) | (~is_pl & win)
+                    v = wmask & live & win & (t < BIG)
                     v &= (hx >= P["n0"]) & (hx <= P["x0"])
                     v &= (hy >= P["n1"]) & (hy <= P["x1"])
                     v &= (hz >= P["n2"]) & (hz <= P["x2"])
-                    same = osrf == s
-                    # bool select via xor (Mosaic lacks i1 select_n)
-                    allowed = thru ^ (side == oside)
-                    v &= ~same | allowed
+                    # custom clip program (CC_cyc, tracer.cpp:1939-2160)
                     if NC > 0:
-                        wx = ox + t * dx
-                        wy = oy + t * dy
-                        wz = oz + t * dz
-
                         def per_clip(j, cm):
                             # i1 vectors can't be scf.for carries; use i32
                             mask = cm[0] != 0
@@ -235,34 +339,54 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                             0, NC, per_clip,
                             (v.astype(I32), jnp.ones(v.shape, I32)))
                         v = vm != 0
+                    # CHECK_SIDE exact self-intersection skip
+                    same = osrf == s
+                    allowed = thru ^ (side == oside)
+                    v &= ~same | allowed
+                    return v
 
-                    if shadow:
-                        occ = carry != 0
-                        blk = sp_i[s, 3]
-                        souter = side > 0
-                        blocks = ((souter & ((blk & 1) != 0))
-                                  | (~souter & ((blk & 2) != 0)))
-                        return (occ | (v & blocks)).astype(I32)
+                ha = hitdata(root_a, side_a, inner=False)
+                hb = hitdata(root_b, side_b, inner=True)
+                va = validity(root_a, side_a, *ha[:6], plane_slot=True)
+                vb = validity(root_b, side_b, *hb[:6])
 
-                    (bt, bsrf, bside, wx2, wy2, wz2, nx, ny, nz, bmat) = \
-                        carry
-                    better = v & (t < bt)
-                    # world normal = inv^T g, flipped to hit side
-                    nwx = (P["i00"] * gx + P["i10"] * gy + P["i20"] * gz)
-                    nwy = (P["i01"] * gx + P["i11"] * gy + P["i21"] * gz)
-                    nwz = (P["i02"] * gx + P["i12"] * gy + P["i22"] * gz)
-                    sf = side.astype(F32)
-                    midx = jnp.where(side > 0, P["mo"], P["mi"])
-                    sel = lambda a_, b_: jnp.where(better, a_, b_)
-                    return (sel(t, bt), sel(s, bsrf), sel(side, bside),
-                            sel(ox + t * dx, wx2), sel(oy + t * dy, wy2),
-                            sel(oz + t * dz, wz2),
-                            sel(nwx * sf, nx), sel(nwy * sf, ny),
-                            sel(nwz * sf, nz), sel(midx, bmat))
+                if shadow:
+                    souter_a = side_a > 0
+                    blk = P["blk"]
+                    blocks_a = ((souter_a & ((blk & 1) != 0))
+                                | (~souter_a & ((blk & 2) != 0)))
+                    blocks_b = (blk & 2) != 0
+                    occ = carry != 0
+                    return (occ | (va & blocks_a)
+                            | (vb & blocks_b)).astype(I32)
 
-                carry = consider(t1, carry)
-                carry = consider(t2, carry)
-                return carry
+                # per-surface nearest valid root, then one carry update
+                pick_b = vb & (~va | (root_b < root_a))
+                sel_ab = lambda fa, fb: jnp.where(pick_b, fb, fa)
+                t = sel_ab(jnp.where(va, root_a, BIG),
+                           jnp.where(vb, root_b, BIG))
+                side = sel_ab(side_a, side_b)
+                wx = sel_ab(ha[3], hb[3])
+                wy = sel_ab(ha[4], hb[4])
+                wz = sel_ab(ha[5], hb[5])
+                gx = sel_ab(ha[6], hb[6])
+                gy = sel_ab(ha[7], hb[7])
+                gz = sel_ab(ha[8], hb[8])
+
+                (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz, bmat) = \
+                    carry
+                better = t < bt
+                # world normal = inv^T g, flipped to hit side
+                nwx = (P["i00"] * gx + P["i10"] * gy + P["i20"] * gz)
+                nwy = (P["i01"] * gx + P["i11"] * gy + P["i21"] * gz)
+                nwz = (P["i02"] * gx + P["i12"] * gy + P["i22"] * gz)
+                sf = side.astype(F32)
+                midx = jnp.where(side > 0, P["mo"], P["mi"])
+                sel = lambda a_, b_: jnp.where(better, a_, b_)
+                return (sel(t, bt), sel(s, bsrf), sel(side, bside),
+                        sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                        sel(nwx * sf, bnx), sel(nwy * sf, bny),
+                        sel(nwz * sf, bnz), sel(midx, bmat))
 
             if shadow:
                 init = jnp.zeros(ox.shape, I32)
@@ -397,8 +521,8 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                             rhz)
             fres_on = (((props & PROP_FRESNEL) != 0) & (use_fres > 0)
                        & ((props & PROP_OPAQUE) == 0))
-            rs = _sdiv(eta * dot + sq, eta * dot - sq)
-            rp = _sdiv(dot + eta * sq, dot - eta * sq)
+            rs = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
+            rp = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
             Fr = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
             Fr = jnp.where(fres_on, Fr, 0.0)
             Fr = jnp.where(tir, 1.0, Fr)
@@ -406,10 +530,9 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
             c_rfl = m_rfl + m_trn * Fr
 
             lw = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
-            hw = jnp.where(hit, lw, 0.0)
-            acc_r = acc_r + thr_r * col_r * hw
-            acc_g = acc_g + thr_g * col_g * hw
-            acc_b = acc_b + thr_b * col_b * hw
+            acc_r = acc_r + jnp.where(hit, thr_r * col_r * lw, 0.0)
+            acc_g = acc_g + jnp.where(hit, thr_g * col_g * lw, 0.0)
+            acc_b = acc_b + jnp.where(hit, thr_b * col_b * lw, 0.0)
 
             # continuations
             deep_ok = depth < cfg.depth

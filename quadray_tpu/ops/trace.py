@@ -49,11 +49,29 @@ from quadray_tpu.scene.compile import (
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = jnp.float32(1e30)
-# All geometry einsums must run at full fp32: XLA:TPU's default matmul
-# precision uses bf16 MXU passes, which visibly corrupts ray-space
-# transforms (measured: 2521 bad px on test01 at default precision, 0 at
-# HIGHEST). K=3 contractions are VPU-cheap anyway.
-P_HI = jax.lax.Precision.HIGHEST
+# All K=3 geometry contractions are written as EXPLICIT elementwise
+# mul/add chains (never einsum/matmul): XLA:TPU lowers matmuls to MXU
+# passes whose rounding differs from IEEE mul+add by ~1 ulp, which is
+# enough to flip exact boundary cases the reference relies on (e.g.
+# test11 places lights exactly on pane planes; the shadow hit must land
+# exactly at t == t_max == 1 to be excluded). Elementwise VPU f32 ops are
+# IEEE-exact and bit-identical between CPU, TPU-XLA, and Mosaic, keeping
+# all three paths in exact agreement.
+def _apply3(m, vx, vy, vz):
+    """y_i = sum_j m[..., i, j] v_j with a fixed (left-to-right) add
+    order matching the Pallas kernel's scalar expansion."""
+    yx = m[..., 0, 0] * vx + m[..., 0, 1] * vy + m[..., 0, 2] * vz
+    yy = m[..., 1, 0] * vx + m[..., 1, 1] * vy + m[..., 1, 2] * vz
+    yz = m[..., 2, 0] * vx + m[..., 2, 1] * vy + m[..., 2, 2] * vz
+    return jnp.stack([yx, yy, yz], axis=-1)
+
+
+def _apply3t(m, vx, vy, vz):
+    """Transposed apply: y_i = sum_j m[..., j, i] v_j (normal transform)."""
+    yx = m[..., 0, 0] * vx + m[..., 1, 0] * vy + m[..., 2, 0] * vz
+    yy = m[..., 0, 1] * vx + m[..., 1, 1] * vy + m[..., 2, 1] * vz
+    yz = m[..., 0, 2] * vx + m[..., 1, 2] * vy + m[..., 2, 2] * vz
+    return jnp.stack([yx, yy, yz], axis=-1)
 D_EPS = 1e-11   # RT_DEPS_THRESHOLD (object.h:41): near-zero determinant
 T_EPS = 1e-7    # RT_TEPS_THRESHOLD (object.h:42): root sorting / apex nudge
 
@@ -99,8 +117,10 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     NS = sc.s_pos.shape[0]
     # world->canonical: o_l, d_l (N, NS, 3)
     rel = org[:, None, :] - sc.s_pos[None, :, :]
-    o_l = jnp.einsum('sij,nsj->nsi', sc.s_inv, rel, precision=P_HI)
-    d_l = jnp.einsum('sij,nj->nsi', sc.s_inv, dirs, precision=P_HI)
+    inv_b = sc.s_inv[None, :, :, :]                  # (1, NS, 3, 3)
+    o_l = _apply3(inv_b, rel[..., 0], rel[..., 1], rel[..., 2])
+    d_l = _apply3(inv_b, dirs[:, None, 0], dirs[:, None, 1],
+                  dirs[:, None, 2])
 
     sci = sc.s_sci[None, :, :]
     scjh = sc.s_scjh[None, :, :]
@@ -160,6 +180,20 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     # plane: t = -o_k / d_k (tracer.cpp:4062-4210 in axis-mapped frame);
     # side from ray direction against +K (outer/inner split PL_ptr)
     t_pl = _safe_div(-o_l[..., 2], d_l[..., 2])
+    # division-free exact t-window test for plane roots: TPU f32 division
+    # is not correctly rounded (x/x can yield 0.99999994), which flips
+    # exact boundary cases the reference depends on — e.g. test11 places
+    # lights exactly on pane planes, so the shadow hit must land exactly
+    # at t == t_max == 1 and be excluded by the strict compare. Comparing
+    # num vs t*den (sign-aware) uses only IEEE-exact mul/cmp.
+    num_pl = -o_l[..., 2]
+    den_pl = d_l[..., 2]
+    pos_d = den_pl > 0.0
+    tmin_d = t_min[:, None] * den_pl
+    tmax_d = t_max[:, None] * den_pl
+    win_pl = (den_pl != 0.0) \
+        & jnp.where(pos_d, num_pl > tmin_d, num_pl < tmin_d) \
+        & jnp.where(pos_d, num_pl < tmax_d, num_pl > tmax_d)
 
     root_a = jnp.where(is_plane, t_pl, jnp.where(quad_ok & ok1, t1, BIG))
     root_b = jnp.where(is_plane, BIG, jnp.where(quad_ok & ok2, t2, BIG))
@@ -203,8 +237,9 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
         adj_k = (sgn(o3[..., 2]) * k_flip * jnp.sqrt(ratio) * inv_r)
         adj = jnp.stack([adj_i, adj_j, adj_k], axis=-1)
         p_r = jnp.where(hm[..., None], adj, p_r)
-        x_adj = sc.s_pos[None, :, None, :] + jnp.einsum(
-            'sij,nsrj->nsri', sc.s_fwd, adj, precision=P_HI)
+        x_adj = sc.s_pos[None, :, None, :] + _apply3(
+            sc.s_fwd[None, :, None, :, :],
+            adj[..., 0], adj[..., 1], adj[..., 2])
         x_r = jnp.where(hm[..., None], x_adj, x_r)
 
     # gradient at the (possibly adjusted) hit point: g = sci p - scjh
@@ -213,8 +248,11 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
                     jnp.array([0.0, 0.0, 1.0], F32),
                     sci[:, :, None, :] * p_r - scjh[:, :, None, :])
 
-    # validity: t window (strict, tracer.cpp CC_clp depth test)
-    valid = (roots > t_min[:, None, None]) & (roots < t_max[:, None, None])
+    # validity: t window (strict, tracer.cpp CC_clp depth test); planes
+    # use the division-free window above
+    in_win = (roots > t_min[:, None, None]) & (roots < t_max[:, None, None])
+    pl_sl0 = is_plane[..., None] & jnp.array([True, False])[None, None, :]
+    valid = jnp.where(pl_sl0, win_pl[..., None], in_win)
     valid &= jnp.isfinite(roots) & (roots < BIG)
     valid &= sc.s_kind[None, :, None] > 0            # padding
 
@@ -232,9 +270,9 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
         refj = jnp.maximum(sc.c_ref[:, j], 0)
         sidej = sc.c_side[:, j]
         # clipper's implicit value at the candidate hit point
-        pc = jnp.einsum('sij,nsrj->nsri', sc.s_inv[refj],
-                        x_r - sc.s_pos[refj][None, :, None, :],
-                        precision=P_HI)
+        relc = x_r - sc.s_pos[refj][None, :, None, :]
+        pc = _apply3(sc.s_inv[refj][None, :, None, :, :],
+                     relc[..., 0], relc[..., 1], relc[..., 2])
         v = _eval_implicit(sc.s_kind[refj][None, :, None],
                            sc.s_sci[refj][None, :, None, :],
                            sc.s_scjh[refj][None, :, None, :],
@@ -287,7 +325,7 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
 
     # world normal: n = inv^T g, normalized, flipped to the hit side
     inv_s = sc.s_inv[bs]                             # (N, 3, 3)
-    n_w = jnp.einsum('nji,nj->ni', inv_s, g, precision=P_HI)
+    n_w = _apply3t(inv_s, g[..., 0], g[..., 1], g[..., 2])
     n_w = n_w * side[:, None].astype(F32)
     n_w = n_w * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(n_w * n_w, -1, keepdims=True), 1e-30))
