@@ -2,12 +2,33 @@
 
 The TPU re-design of render0 (tracer.cpp:1081-5405): where the reference
 keeps 4-16 rays in SIMD registers and walks pointer lists, this kernel
-keeps a (SUB, 128) tile of rays on-chip, loops surfaces with per-surface
-scalars prefetched to SMEM (fori_loop, dynamic scalar reads — the analog
-of the reference's Rebx surface-pointer walk), and runs the iterative
+keeps a (SUB, 128) tile of rays on-chip and runs the iterative
 branch-stack Whitted loop with semantics IDENTICAL to ops/trace.py (the
 differentially-tested reference implementation): one HBM read of the rays
 and one write of the colors per block.
+
+Structure specialization (the TPU analog of the reference's per-surface
+tag dispatch AR/PL/TP/QD, tracer.cpp:1341-1592, and its per-light shadow
+lists, engine.cpp:2456-2757): the kernel is compiled per scene STRUCTURE
+— per-surface solver kind, singularity flag, clip-program length, shadow
+blocker-ness, material property bits, light count — while all FLOATS
+(transforms, coefficients, colors) stay dynamic SMEM reads, so animated
+frames reuse the compile cache. Concretely:
+
+  * surfaces are permuted into contiguous classes (plane/quadric x
+    has-singularity x has-clips), each traversed by a fori_loop with a
+    body that only contains the code that class needs;
+  * within each class, shadow BLOCKERS come first, so the per-light
+    shadow pass walks a prefix of each class (CHECK_SHAD, evaluated
+    statically per material on the host);
+  * clip programs run with their actual per-surface trip count (dynamic
+    fori bound) instead of the padded maximum;
+  * material property bits are static: flag vectors (emissive / metal /
+    diffuse / specular / refracting / fresnel) are built from `bmat == m`
+    compares over the static subset, and whole blocks (Fresnel,
+    refraction, the continuation stack machinery) drop out of scenes
+    whose materials cannot trigger them;
+  * lights and the material one-hot are unrolled over the real counts.
 
 Root semantics ported 1:1 from ops/trace.py (itself matching
 tracer.cpp:4378-4623):
@@ -17,13 +38,17 @@ tracer.cpp:4378-4623):
     planes take the ray-vs-K sign),
   * two-plane degenerate determinant in exact factored form,
   * near-zero-determinant root sorting with D_EPS/T_EPS,
-  * conic-singularity apex adjustment of the clip/normal point.
+  * conic-singularity apex adjustment of the clip/normal point,
+  * division-free sign-aware t-window for plane roots (TPU f32 division
+    is not correctly rounded),
+  * nearest-hit tie-break on the ORIGINAL surface id so the permutation
+    is invisible (matches the jnp path's argmin order).
 
-VMEM budget: the while-loop carry holds ~18 ray tiles plus a branch stack
-of cfg.stack x 12 (SUB, 128) f32 tiles; at SUB=64, stack=10 that is
-~4.6 MB before temporaries (v5e VMEM ~64 MB/core, but Mosaic reserves
-most of it for spills). trace_rays_auto falls back to the jnp path if
-Mosaic fails to compile.
+VMEM budget: the while-loop carry holds ~18 ray tiles plus (when any
+material reflects or refracts) a branch stack of cfg.stack x 12
+(SUB, 128) f32 tiles; at SUB=64, stack=10 that is ~4.6 MB before
+temporaries. trace_rays_auto falls back to the jnp path if Mosaic fails
+to compile.
 """
 
 from __future__ import annotations
@@ -38,9 +63,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quadray_tpu.scene.compile import (
-    SceneArrays, PROP_LIGHT, PROP_METAL, PROP_OPAQUE, PROP_REFRACT,
-    PROP_DIFFUSE, PROP_SPECULAR, PROP_TEXTURE, PROP_FRESNEL, PROP_TRANSP,
-    PROP_GAMMA, CLIP_SURF, CLIP_ENTER, CLIP_LEAVE)
+    SceneArrays, PROP_LIGHT, PROP_METAL, PROP_OPAQUE, PROP_REFLECT,
+    PROP_REFRACT, PROP_DIFFUSE, PROP_SPECULAR, PROP_TEXTURE, PROP_FRESNEL,
+    PROP_TRANSP, PROP_GAMMA, CLIP_SURF, CLIP_ENTER, CLIP_LEAVE, CLIP_NONE)
 from quadray_tpu.ops.trace import TraceConfig, D_EPS, T_EPS
 
 F32 = jnp.float32
@@ -57,37 +82,140 @@ CF = 22           # per-clip-entry floats
 MF = 10           # per-material floats
 LF = 10           # per-light floats
 
+# sp_i columns
+SI_KIND, SI_MO, SI_MI, SI_BLK, SI_SING, SI_NCL, SI_OID = range(7)
+
 
 class PackedScene(NamedTuple):
-    sp_f: jnp.ndarray    # (NS, PF) f32
-    sp_i: jnp.ndarray    # (NS, 5) i32: kind, mat_outer, mat_inner, blk, sing
+    sp_f: jnp.ndarray    # (NS, PF) f32, permuted by struct.perm
+    sp_i: jnp.ndarray    # (NS, 7) i32: kind, mo, mi, blk, sing, ncl, origid
     cl_f: jnp.ndarray    # (NS, NC*CF) f32 pre-gathered clip tables
     mat_f: jnp.ndarray   # (NM, MF) f32
-    mat_i: jnp.ndarray   # (NM, 1) i32 props
     lg_f: jnp.ndarray    # (NL, LF) f32
     misc: jnp.ndarray    # (8,) f32: amb_rgb, use_gamma, use_fresnel, pad
 
 
-def pack_scene(sc: SceneArrays) -> PackedScene:
+class Group(NamedTuple):
+    """One contiguous class of surfaces in the permuted tables."""
+    is_plane: bool
+    has_sing: bool
+    has_clips: bool
+    start: int
+    count: int       # all surfaces of the class
+    n_block: int     # leading shadow blockers of the class
+
+
+class KernelStruct(NamedTuple):
+    """Static (hashable) scene structure the kernel specializes on."""
+    ns: int                 # padded table height
+    nc: int                 # clip program width
+    nm: int                 # real material count
+    nl: int                 # real light count
+    groups: tuple           # tuple[Group]
+    perm: tuple             # permuted-row -> original surface id
+    ncl: tuple              # per PERMUTED row: clip entries
+    blk: tuple              # per PERMUTED row: blocker side bits
+    props: tuple            # per material: property bits
+    gamma_on: bool
+    fres_on: bool
+    any_cont: bool          # any material reflects or transmits
+
+
+def _mat_blocks(props: np.ndarray) -> np.ndarray:
+    """CHECK_SHAD blocker rule per material (tracer.cpp:549-589):
+    emissive and unbent fully-transparent surfaces don't occlude."""
+    return (((props & PROP_LIGHT) == 0)
+            & ~(((props & PROP_TRANSP) != 0)
+                & ((props & PROP_REFRACT) == 0)))
+
+
+def scene_struct(sc: SceneArrays) -> KernelStruct:
+    """Extract the static structure (host-side numpy)."""
+    kind = np.asarray(sc.s_kind)
+    sing = np.asarray(sc.s_sing)
+    cop = np.asarray(sc.c_op)
+    props = np.asarray(sc.m_props)
+    smat = np.asarray(sc.s_mat)
+    NS, NC = cop.shape
+
+    nz = cop != CLIP_NONE
+    ncl = np.where(nz.any(1), NC - np.argmax(nz[:, ::-1], axis=1), 0)
+    mb = _mat_blocks(props)
+    blk = mb[smat[:, 0]].astype(np.int32) + 2 * mb[smat[:, 1]].astype(
+        np.int32)
+
+    perm: list = []
+    groups: list = []
+    for is_plane in (True, False):
+        for has_sing in ((False,) if is_plane else (False, True)):
+            for has_clips in (False, True):
+                sel = ((kind > 0)
+                       & ((kind == 1) == is_plane)
+                       & ((sing > 0) == has_sing)
+                       & ((ncl > 0) == has_clips))
+                ids = np.nonzero(sel)[0]
+                if ids.size == 0:
+                    continue
+                blockers = ids[blk[ids] != 0]
+                rest = ids[blk[ids] == 0]
+                groups.append(Group(is_plane, has_sing, has_clips,
+                                    len(perm), int(ids.size),
+                                    int(blockers.size)))
+                perm.extend(int(i) for i in blockers)
+                perm.extend(int(i) for i in rest)
+    # pad rows keep table height NS
+    padding = [i for i in range(NS) if kind[i] == 0]
+    perm.extend(padding)
+    perm_a = np.array(perm, np.int32)
+
+    nl = int(np.asarray(sc.l_on).sum())
+    any_cont = bool(np.any(((props & PROP_REFLECT) != 0)
+                           | ((props & PROP_OPAQUE) == 0)))
+    return KernelStruct(
+        ns=NS, nc=NC, nm=int(props.shape[0]), nl=nl,
+        groups=tuple(groups), perm=tuple(int(i) for i in perm_a),
+        ncl=tuple(int(v) for v in ncl[perm_a]),
+        blk=tuple(int(v) for v in blk[perm_a]),
+        props=tuple(int(p) for p in props),
+        gamma_on=bool(np.asarray(sc.use_gamma) > 0),
+        fres_on=bool(np.asarray(sc.use_fresnel) > 0),
+        any_cont=any_cont)
+
+
+_STRUCT_CACHE: dict = {}
+
+
+def _get_struct(sc: SceneArrays) -> KernelStruct:
+    """Identity-keyed cache: animated frames reuse the structure without a
+    device->host sync per call (structure cannot change without a new
+    SceneArrays pytree)."""
+    key = id(sc.s_kind)
+    ent = _STRUCT_CACHE.get(key)
+    if ent is not None and ent[0] is sc.s_kind:
+        return ent[1]
+    st = scene_struct(sc)
+    _STRUCT_CACHE[key] = (sc.s_kind, st)
+    return st
+
+
+def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
     NS = sc.s_pos.shape[0]
     NC = sc.c_op.shape[1]
+    perm = jnp.asarray(np.array(struct.perm, np.int32))
     sp_f = jnp.concatenate([
         sc.s_pos, sc.s_inv.reshape(NS, 9), sc.s_sci, sc.s_scjh,
         sc.s_sciw[:, None],
         jnp.clip(sc.s_cmin, -BIG, BIG), jnp.clip(sc.s_cmax, -BIG, BIG),
         sc.s_fwd.reshape(NS, 9),
-    ], axis=1).astype(F32)
-    # per-surface shadow-blocker flags (CHECK_SHAD rule, evaluated on the
-    # host per material): bit0 = outer side blocks, bit1 = inner side
-    props = sc.m_props
-    mat_blocks = (((props & PROP_LIGHT) == 0)
-                  & ~(((props & PROP_TRANSP) != 0)
-                      & ((props & PROP_REFRACT) == 0))).astype(I32)
-    blk = (mat_blocks[sc.s_mat[:, 0]]
-           + 2 * mat_blocks[sc.s_mat[:, 1]])
+    ], axis=1).astype(F32)[perm]
+    # static columns (blocker bits, clip counts, original ids) come from
+    # the struct — they are already in permuted order
     sp_i = jnp.concatenate([
-        sc.s_kind[:, None], sc.s_mat,
-        blk[:, None], sc.s_sing[:, None]], axis=1).astype(I32)
+        sc.s_kind[perm][:, None], sc.s_mat[perm],
+        jnp.asarray(np.array(struct.blk, np.int32))[:, None],
+        sc.s_sing[perm][:, None],
+        jnp.asarray(np.array(struct.ncl, np.int32))[:, None],
+        perm[:, None]], axis=1).astype(I32)
     ref = jnp.maximum(sc.c_ref, 0)
     cl_f = jnp.concatenate([
         sc.s_pos[ref], sc.s_inv[ref].reshape(NS, NC, 9), sc.s_sci[ref],
@@ -95,19 +223,17 @@ def pack_scene(sc: SceneArrays) -> PackedScene:
         sc.s_kind[ref][..., None].astype(F32),
         sc.c_side[..., None],
         sc.c_op[..., None].astype(F32),
-    ], axis=2).astype(F32)
+    ], axis=2).astype(F32)[perm].reshape(NS, NC * CF)
     mat_f = jnp.stack([
         sc.m_col[:, 0], sc.m_col[:, 1], sc.m_col[:, 2], sc.m_dff, sc.m_spc,
         sc.m_pow, sc.m_rfl, sc.m_trn, sc.m_rfr, sc.m_ext], axis=1)
-    mat_i = sc.m_props[:, None].astype(I32)
     lg_f = jnp.concatenate([
         sc.l_pos, sc.l_col, sc.l_cnt[:, None], sc.l_lnr[:, None],
         sc.l_qdr[:, None], sc.l_on[:, None]], axis=1).astype(F32)
     misc = jnp.concatenate([
         sc.amb_col, sc.use_gamma[None], sc.use_fresnel[None],
         jnp.zeros((3,), F32)])
-    return PackedScene(sp_f, sp_i, cl_f.reshape(NS, NC * CF), mat_f, mat_i,
-                       lg_f, misc)
+    return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc)
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
@@ -130,28 +256,36 @@ def _root(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), BIG), ok
 
 
-def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
+def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
     D = cfg.stack
+    NC = struct.nc
+    NM = struct.nm
+    NL = struct.nl
+    props_t = struct.props
 
-    def kernel(sp_f, sp_i, cl_f, mat_f, mat_i, lg_f, misc,
+    def mats_with(bit):
+        return [m for m in range(NM) if props_t[m] & bit]
+
+    def flag_vec(bit, bmat):
+        """Per-lane bool: material property, from the static subset."""
+        ms = mats_with(bit)
+        if not ms:
+            return None
+        v = bmat == ms[0]
+        for m in ms[1:]:
+            v = v | (bmat == m)
+        return v
+
+    any_refract = bool(mats_with(PROP_REFRACT))
+    any_fresnel = struct.fres_on and bool(mats_with(PROP_FRESNEL))
+    any_metal = bool(mats_with(PROP_METAL))
+    any_emissive = bool(mats_with(PROP_LIGHT))
+    any_gamma = struct.gamma_on and bool(mats_with(PROP_GAMMA))
+    any_cont = struct.any_cont
+
+    def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
                ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
                cr_r, cg_r, cb_r):
-
-        # ---- scalar helpers over SMEM tables -------------------------
-        def surf(s):
-            g = lambda k: sp_f[s, k]
-            return dict(
-                px=g(0), py=g(1), pz=g(2),
-                i00=g(3), i01=g(4), i02=g(5), i10=g(6), i11=g(7),
-                i12=g(8), i20=g(9), i21=g(10), i22=g(11),
-                sx=g(12), sy=g(13), sz=g(14),
-                jx=g(15), jy=g(16), jz=g(17), sw=g(18),
-                n0=g(19), n1=g(20), n2=g(21),
-                x0=g(22), x1=g(23), x2=g(24),
-                f00=g(25), f01=g(26), f02=g(27), f10=g(28), f11=g(29),
-                f12=g(30), f20=g(31), f21=g(32), f22=g(33),
-                kind=sp_i[s, 0], mo=sp_i[s, 1], mi=sp_i[s, 2],
-                blk=sp_i[s, 3], sing=sp_i[s, 4])
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -181,44 +315,128 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                     - P["sw"])
             return jnp.where(kind_is_plane, lz, quad)
 
-        # ---- intersect: nearest hit over all surfaces ----------------
-        def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
-                      osrf, oside, thru, shadow, wmask):
-            """fori over surfaces; carry = best hit state. In shadow mode
-            the carry degenerates to an occlusion mask. Semantics match
-            trace.py intersect() 1:1."""
+        def clip_program(s, ncl_s, v, wx, wy, wz):
+            """Custom clip program (CC_cyc, tracer.cpp:1939-2160) with the
+            per-surface dynamic trip count."""
+            def per_clip(j, cm):
+                # i1 vectors can't be scf carries; use i32
+                mask = cm[0] != 0
+                saved = cm[1] != 0
+                C = clipentry(s, j)
+                cx, cy, cz = to_local(C, wx, wy, wz)
+                val = implicit(C, C["kind"] == 1.0, cx, cy, cz)
+                pos = C["side"] >= 0.0
+                keep = ((pos & (val <= 0.0)) | (~pos & (val >= 0.0)))
+                is_s = C["op"] == float(CLIP_SURF)
+                is_e = C["op"] == float(CLIP_ENTER)
+                is_l = C["op"] == float(CLIP_LEAVE)
+                is_n = ~(is_s | is_e | is_l)
+                # bool selects as logical ops (no i1 select_n in Mosaic)
+                saved = (is_e & mask) | (~is_e & saved)
+                mask = ((is_s & mask & keep) | is_e
+                        | (is_l & saved & ~mask) | (is_n & mask))
+                return mask.astype(I32), saved.astype(I32)
 
-            def per_surface(s, carry):
-                P = surf(s)
-                kind = P["kind"]
-                is_pl = kind == 1
-                is_tp = kind == 3
-                live = kind > 0
+            vm, _ = jax.lax.fori_loop(
+                0, ncl_s, per_clip,
+                (v.astype(I32), jnp.ones(v.shape, I32)))
+            return vm != 0
+
+        # ---- per-class surface bodies --------------------------------
+        def make_body(grp: Group, shadow, rays):
+            (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
+             wmask) = rays
+
+            def body(s, carry):
+                g = lambda k: sp_f[s, k]
+                P = dict(px=g(0), py=g(1), pz=g(2),
+                         i00=g(3), i01=g(4), i02=g(5), i10=g(6), i11=g(7),
+                         i12=g(8), i20=g(9), i21=g(10), i22=g(11))
                 lx, ly, lz = to_local(P, ox, oy, oz)
                 ex, ey, ez = lin(P, dx, dy, dz)
-                a = (P["sx"] * ex * ex + P["sy"] * ey * ey
-                     + P["sz"] * ez * ez)
-                b = ((P["sx"] * lx - P["jx"]) * ex
-                     + (P["sy"] * ly - P["jy"]) * ey
-                     + (P["sz"] * lz - P["jz"]) * ez)
-                c = implicit(P, False, lx, ly, lz)
+                origid = sp_i[s, SI_OID]
+
+                if grp.is_plane:
+                    # plane root + ray-sign side (tracer.cpp:4062-4210)
+                    t = _sdiv(-lz, ez)
+                    side = jnp.where(ez < 0.0, 1, -1).astype(I32)
+                    # division-free t-window (see trace.py win_pl)
+                    pos_d = ez > 0.0
+                    tmin_d = tmn * ez
+                    tmax_d = tmx * ez
+                    win = (ez != 0.0) \
+                        & ((pos_d & (-lz > tmin_d))
+                           | (~pos_d & (-lz < tmin_d))) \
+                        & ((pos_d & (-lz < tmax_d))
+                           | (~pos_d & (-lz > tmax_d)))
+                    hx = lx + t * ex
+                    hy = ly + t * ey
+                    hz = lz + t * ez
+                    wx = ox + t * dx
+                    wy = oy + t * dy
+                    wz = oz + t * dz
+                    v = wmask & win
+                    v &= (hx >= g(19)) & (hx <= g(22))
+                    v &= (hy >= g(20)) & (hy <= g(23))
+                    v &= (hz >= g(21)) & (hz <= g(24))
+                    if grp.has_clips:
+                        v = clip_program(s, sp_i[s, SI_NCL], v, wx, wy, wz)
+                    # CHECK_SIDE exact self-intersection skip
+                    same = osrf == origid
+                    v &= ~same | (thru ^ (side == oside))
+
+                    if shadow:
+                        blk = sp_i[s, SI_BLK]
+                        souter = side > 0
+                        blocks = ((souter & ((blk & 1) != 0))
+                                  | (~souter & ((blk & 2) != 0)))
+                        return (carry | (v & blocks).astype(I32))
+
+                    (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz,
+                     bmat) = carry
+                    t = jnp.where(v, t, BIG)
+                    better = (t < bt) | ((t == bt) & (origid < bsrf))
+                    # plane world normal = third row of inv, side-flipped
+                    sf = side.astype(F32)
+                    midx = jnp.where(side > 0, sp_i[s, SI_MO],
+                                     sp_i[s, SI_MI])
+                    sel = lambda a_, b_: jnp.where(better, a_, b_)
+                    return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
+                            sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                            sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
+                            sel(P["i22"] * sf, bnz), sel(midx, bmat))
+
+                # ---- quadric / two-plane class -----------------------
+                Q = dict(sx=g(12), sy=g(13), sz=g(14),
+                         jx=g(15), jy=g(16), jz=g(17), sw=g(18))
+                kind = sp_i[s, SI_KIND]
+                is_tp = kind == 3
+                a = (Q["sx"] * ex * ex + Q["sy"] * ey * ey
+                     + Q["sz"] * ez * ez)
+                b = ((Q["sx"] * lx - Q["jx"]) * ex
+                     + (Q["sy"] * ly - Q["jy"]) * ey
+                     + (Q["sz"] * lz - Q["jz"]) * ez)
+                c = (Q["sx"] * lx * lx + Q["sy"] * ly * ly
+                     + Q["sz"] * lz * lz
+                     - 2.0 * (Q["jx"] * lx + Q["jy"] * ly + Q["jz"] * lz)
+                     - Q["sw"])
                 # two-plane exact factored determinant (tracer.cpp:4239-46)
                 cross = lx * ez - lz * ex
-                disc_tp = jnp.abs(P["sx"] * P["sz"]) * cross * cross
+                disc_tp = jnp.abs(Q["sx"] * Q["sz"]) * cross * cross
                 disc = jnp.where(is_tp, disc_tp, b * b - a * c)
                 quad_ok = disc >= 0.0
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 # stable b-mixed roots (tracer.cpp:4518-4547): slot a =
                 # entering/outer, slot b = leaving/inner, structurally
                 sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
-                q = -(b + sgn_b * sq)
+                qq = -(b + sgn_b * sq)
                 b_pos = b > 0.0
-                t1, ok1 = _root(jnp.where(b_pos, q, c),
-                                jnp.where(b_pos, a, q))
-                t2, ok2 = _root(jnp.where(b_pos, c, q),
-                                jnp.where(b_pos, q, a))
+                t1, ok1 = _root(jnp.where(b_pos, qq, c),
+                                jnp.where(b_pos, a, qq))
+                t2, ok2 = _root(jnp.where(b_pos, c, qq),
+                                jnp.where(b_pos, qq, a))
                 # near-zero-determinant root sorting (tracer.cpp:4572-4623)
-                dmask = quad_ok & (disc < D_EPS) & ~is_pl
+                dmask = quad_ok & (disc < D_EPS)
                 sgn_a = jnp.where(a >= 0.0, 1.0, -1.0)
                 u = (t1 - t2) * sgn_a
                 fm = u >= 0.0
@@ -228,53 +446,37 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                 t1 = t1 + tdff
                 t2 = t2 - tdff
 
-                # plane root + ray-sign side (tracer.cpp:4062-4210)
-                t_pl = _sdiv(-lz, ez)
-                side_pl = jnp.where(ez < 0.0, 1, -1).astype(I32)
-                # division-free t-window for plane roots (TPU f32 div is
-                # not correctly rounded; see trace.py win_pl)
-                pos_d = ez > 0.0
-                tmin_d = tmn * ez
-                tmax_d = tmx * ez
-                # bool selects as logical ops (no i1 select_n in Mosaic)
-                win_pl = (ez != 0.0) \
-                    & ((pos_d & (-lz > tmin_d)) | (~pos_d & (-lz < tmin_d))) \
-                    & ((pos_d & (-lz < tmax_d)) | (~pos_d & (-lz > tmax_d)))
+                root_a = jnp.where(quad_ok & ok1, t1, BIG)
+                root_b = jnp.where(quad_ok & ok2, t2, BIG)
 
-                root_a = jnp.where(is_pl, t_pl,
-                                   jnp.where(quad_ok & ok1, t1, BIG))
-                root_b = jnp.where(is_pl, BIG,
-                                   jnp.where(quad_ok & ok2, t2, BIG))
-                side_a = jnp.where(is_pl, side_pl, 1).astype(I32)
-                side_b = jnp.full_like(side_pl, -1)
+                if grp.has_sing:
+                    # conic-singularity scalars (CC_glb,
+                    # tracer.cpp:1706-1860)
+                    sing = sp_i[s, SI_SING]
+                    cyl = sing == 2
+                    ratio_n = Q["sx"] + jnp.where(cyl, 0.0, Q["sy"])
+                    bad_rz = jnp.abs(Q["sz"]) < 1e-30
+                    ratio = jnp.abs(jnp.where(
+                        bad_rz, 0.0,
+                        ratio_n / jnp.where(bad_rz, 1.0, Q["sz"])))
+                    acc_c = jnp.where(cyl, 1.0, 2.0)
+                    inv_r = T_EPS * jax.lax.rsqrt(
+                        jnp.maximum(ratio + acc_c, 1e-30))
+                    sqrt_ratio = jnp.sqrt(ratio)
+                sgn = lambda v_: jnp.where(v_ >= 0.0, 1.0, -1.0)
 
-                # conic-singularity scalars (CC_glb, tracer.cpp:1706-1860)
-                sing = P["sing"]
-                cyl = sing == 2
-                ratio_n = P["sx"] + jnp.where(cyl, 0.0, P["sy"])
-                bad_rz = jnp.abs(P["sz"]) < 1e-30
-                ratio = jnp.abs(jnp.where(bad_rz, 0.0,
-                                          ratio_n / jnp.where(bad_rz, 1.0,
-                                                              P["sz"])))
-                acc_c = jnp.where(cyl, 1.0, 2.0)
-                inv_r = T_EPS * jax.lax.rsqrt(
-                    jnp.maximum(ratio + acc_c, 1e-30))
-                sqrt_ratio = jnp.sqrt(ratio)
-                sgn = lambda v: jnp.where(v >= 0.0, 1.0, -1.0)
-
-                def hitdata(t, side, inner):
+                def hitdata(t, inner):
                     """Hit point (with apex adjustment), world point,
-                    gradient — per root slot. `inner` is a Python bool
-                    (slot b); planes never trigger the singularity."""
+                    gradient — per root slot. `inner` is a Python bool."""
                     hx = lx + t * ex
                     hy = ly + t * ey
                     hz = lz + t * ez
                     wx = ox + t * dx
                     wy = oy + t * dy
                     wz = oz + t * dz
-                    if True:  # singularity adjust (gated by sing>0)
+                    if grp.has_sing:
                         r2loc = hx * hx + hy * hy + hz * hz
-                        hm = (sing > 0) & dmask & (r2loc < T_EPS)
+                        hm = dmask & (r2loc < T_EPS)
                         a_neg = a < 0.0
                         if inner:
                             ij_flip = jnp.where(~a_neg, -1.0, 1.0)
@@ -289,76 +491,42 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                         hx = jnp.where(hm, adj_i, hx)
                         hy = jnp.where(hm, adj_j, hy)
                         hz = jnp.where(hm, adj_k, hz)
-                        awx = (P["px"] + P["f00"] * adj_i
-                               + P["f01"] * adj_j + P["f02"] * adj_k)
-                        awy = (P["py"] + P["f10"] * adj_i
-                               + P["f11"] * adj_j + P["f12"] * adj_k)
-                        awz = (P["pz"] + P["f20"] * adj_i
-                               + P["f21"] * adj_j + P["f22"] * adj_k)
+                        awx = (P["px"] + g(25) * adj_i + g(26) * adj_j
+                               + g(27) * adj_k)
+                        awy = (P["py"] + g(28) * adj_i + g(29) * adj_j
+                               + g(30) * adj_k)
+                        awz = (P["pz"] + g(31) * adj_i + g(32) * adj_j
+                               + g(33) * adj_k)
                         wx = jnp.where(hm, awx, wx)
                         wy = jnp.where(hm, awy, wy)
                         wz = jnp.where(hm, awz, wz)
-                    gx = jnp.where(is_pl, 0.0, P["sx"] * hx - P["jx"])
-                    gy = jnp.where(is_pl, 0.0, P["sy"] * hy - P["jy"])
-                    gz = jnp.where(is_pl, 1.0, P["sz"] * hz - P["jz"])
+                    gx = Q["sx"] * hx - Q["jx"]
+                    gy = Q["sy"] * hy - Q["jy"]
+                    gz = Q["sz"] * hz - Q["jz"]
                     return hx, hy, hz, wx, wy, wz, gx, gy, gz
 
-                def validity(t, side, hx, hy, hz, wx, wy, wz,
-                             plane_slot=False):
-                    win = (t > tmn) & (t < tmx)
-                    if plane_slot:
-                        win = (is_pl & win_pl) | (~is_pl & win)
-                    v = wmask & live & win & (t < BIG)
-                    v &= (hx >= P["n0"]) & (hx <= P["x0"])
-                    v &= (hy >= P["n1"]) & (hy <= P["x1"])
-                    v &= (hz >= P["n2"]) & (hz <= P["x2"])
-                    # custom clip program (CC_cyc, tracer.cpp:1939-2160)
-                    if NC > 0:
-                        def per_clip(j, cm):
-                            # i1 vectors can't be scf.for carries; use i32
-                            mask = cm[0] != 0
-                            saved = cm[1] != 0
-                            C = clipentry(s, j)
-                            cx, cy, cz = to_local(C, wx, wy, wz)
-                            val = implicit(C, C["kind"] == 1.0, cx, cy, cz)
-                            pos = C["side"] >= 0.0
-                            keep = ((pos & (val <= 0.0))
-                                    | (~pos & (val >= 0.0)))
-                            is_s = C["op"] == float(CLIP_SURF)
-                            is_e = C["op"] == float(CLIP_ENTER)
-                            is_l = C["op"] == float(CLIP_LEAVE)
-                            is_n = ~(is_s | is_e | is_l)
-                            # bool selects as logical ops (no i1 select_n)
-                            saved = (is_e & mask) | (~is_e & saved)
-                            mask = ((is_s & mask & keep) | is_e
-                                    | (is_l & saved & ~mask)
-                                    | (is_n & mask))
-                            return mask.astype(I32), saved.astype(I32)
-
-                        vm, _ = jax.lax.fori_loop(
-                            0, NC, per_clip,
-                            (v.astype(I32), jnp.ones(v.shape, I32)))
-                        v = vm != 0
-                    # CHECK_SIDE exact self-intersection skip
-                    same = osrf == s
-                    allowed = thru ^ (side == oside)
-                    v &= ~same | allowed
+                def validity(t, side_val, hx, hy, hz, wx, wy, wz):
+                    v = wmask & (t > tmn) & (t < tmx) & (t < BIG)
+                    v &= (hx >= g(19)) & (hx <= g(22))
+                    v &= (hy >= g(20)) & (hy <= g(23))
+                    v &= (hz >= g(21)) & (hz <= g(24))
+                    if grp.has_clips:
+                        v = clip_program(s, sp_i[s, SI_NCL], v, wx, wy, wz)
+                    same = osrf == origid
+                    v &= ~same | (thru ^ (side_val == oside))
                     return v
 
-                ha = hitdata(root_a, side_a, inner=False)
-                hb = hitdata(root_b, side_b, inner=True)
-                va = validity(root_a, side_a, *ha[:6], plane_slot=True)
+                ha = hitdata(root_a, inner=False)
+                hb = hitdata(root_b, inner=True)
+                side_a = jnp.full(ox.shape, 1, I32)
+                side_b = jnp.full(ox.shape, -1, I32)
+                va = validity(root_a, side_a, *ha[:6])
                 vb = validity(root_b, side_b, *hb[:6])
 
                 if shadow:
-                    souter_a = side_a > 0
-                    blk = P["blk"]
-                    blocks_a = ((souter_a & ((blk & 1) != 0))
-                                | (~souter_a & ((blk & 2) != 0)))
-                    blocks_b = (blk & 2) != 0
-                    occ = carry != 0
-                    return (occ | (va & blocks_a)
-                            | (vb & blocks_b)).astype(I32)
+                    blk = sp_i[s, SI_BLK]
+                    return (carry | (va & ((blk & 1) != 0)).astype(I32)
+                            | (vb & ((blk & 2) != 0)).astype(I32))
 
                 # per-surface nearest valid root, then one carry update
                 pick_b = vb & (~va | (root_b < root_a))
@@ -375,43 +543,56 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
 
                 (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz, bmat) = \
                     carry
-                better = t < bt
-                # world normal = inv^T g, flipped to hit side
+                better = (t < bt) | ((t == bt) & (origid < bsrf))
+                # world normal = inv^T grad, flipped to hit side
                 nwx = (P["i00"] * gx + P["i10"] * gy + P["i20"] * gz)
                 nwy = (P["i01"] * gx + P["i11"] * gy + P["i21"] * gz)
                 nwz = (P["i02"] * gx + P["i12"] * gy + P["i22"] * gz)
                 sf = side.astype(F32)
-                midx = jnp.where(side > 0, P["mo"], P["mi"])
+                midx = jnp.where(side > 0, sp_i[s, SI_MO], sp_i[s, SI_MI])
                 sel = lambda a_, b_: jnp.where(better, a_, b_)
-                return (sel(t, bt), sel(s, bsrf), sel(side, bside),
+                return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
                         sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
                         sel(nwx * sf, bnx), sel(nwy * sf, bny),
                         sel(nwz * sf, bnz), sel(midx, bmat))
 
+            return body
+
+        # ---- intersect: nearest hit / shadow any-hit over all groups --
+        def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
+                      osrf, oside, thru, shadow, wmask):
+            rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
+                    wmask)
             if shadow:
-                init = jnp.zeros(ox.shape, I32)
+                carry = jnp.zeros(ox.shape, I32)
             else:
                 z = jnp.zeros(ox.shape, F32)
                 zi = jnp.zeros(ox.shape, I32)
-                init = (jnp.full(ox.shape, BIG, F32), zi - 1, zi + 1,
-                        z, z, z, z, z, z, zi)
-            return jax.lax.fori_loop(0, NS, per_surface, init)
+                carry = (jnp.full(ox.shape, BIG, F32), zi + 0x7FFFFFF,
+                         zi + 1, z, z, z, z, z, z, zi)
+            for grp in struct.groups:
+                n = grp.n_block if shadow else grp.count
+                if n == 0:
+                    continue
+                body = make_body(grp, shadow, rays)
+                if n == 1:
+                    carry = body(grp.start, carry)
+                else:
+                    carry = jax.lax.fori_loop(grp.start, grp.start + n,
+                                              body, carry)
+            return carry
 
-        # ---- material params per ray (one-hot over NM) ---------------
+        # ---- material params per ray (unrolled one-hot over NM) -------
         def mat_params(midx):
-            def per_mat(m, acc):
-                sel = (midx == m)
-                selF = sel.astype(F32)
-                out = [a + selF * mat_f[m, k] for k, a in
-                       enumerate(acc[:-1])]
-                props = jnp.where(sel, mat_i[m, 0], acc[-1])
-                return tuple(out) + (props,)
-            z = jnp.zeros(midx.shape, F32)
-            init = tuple(z for _ in range(MF)) + \
-                (jnp.zeros(midx.shape, I32),)
-            return jax.lax.fori_loop(0, NM, per_mat, init)
+            outs = None
+            for m in range(NM):
+                selF = (midx == m).astype(F32)
+                vals = [selF * mat_f[m, k] for k in range(MF)]
+                outs = vals if outs is None else [
+                    o + v_ for o, v_ in zip(outs, vals)]
+            return tuple(outs)
 
-        # ---- main loop ----------------------------------------------
+        # ---- main loop -------------------------------------------------
         ox = ox_r[:]
         oy = oy_r[:]
         oz = oz_r[:]
@@ -423,10 +604,10 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
         z = jnp.zeros(shape, F32)
         zi = jnp.zeros(shape, I32)
         zb = jnp.zeros(shape, jnp.bool_)
+        big_t = jnp.full(shape, BIG, F32)
+        one_t = jnp.full(shape, 1.0, F32)
 
         amb_r, amb_g, amb_b = misc[0], misc[1], misc[2]
-        use_gamma = misc[3]
-        use_fres = misc[4]
 
         def shade_and_continue(st):
             (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b, depth,
@@ -436,8 +617,7 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
             active = active_i != 0
 
             (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat) = intersect(
-                ox, oy, oz, dx, dy, dz, tmn,
-                jnp.full(shape, BIG, F32), osrf, oside, thru,
+                ox, oy, oz, dx, dy, dz, tmn, big_t, osrf, oside, thru,
                 False, active)
             hit = (bt < BIG) & active
             # normalize normal
@@ -446,93 +626,122 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
             nx, ny, nz = nx * nn, ny * nn, nz * nn
 
             (mc_r, mc_g, mc_b, m_dff, m_spc, m_pow, m_rfl, m_trn, m_rfr,
-             m_ext, props) = mat_params(bmat)
-            emissive = (props & PROP_LIGHT) != 0
-            metal = (props & PROP_METAL) != 0
-            # gamma decode x^2 (PAINT_COLX, tracer.cpp:664-673)
-            gam = ((props & PROP_GAMMA) != 0) & (use_gamma > 0)
-            mc_r = jnp.where(gam, mc_r * mc_r, mc_r)
-            mc_g = jnp.where(gam, mc_g * mc_g, mc_g)
-            mc_b = jnp.where(gam, mc_b * mc_b, mc_b)
+             m_ext) = mat_params(bmat)
+            if any_gamma:
+                # gamma decode x^2 (PAINT_COLX, tracer.cpp:664-673)
+                gam = flag_vec(PROP_GAMMA, bmat)
+                mc_r = jnp.where(gam, mc_r * mc_r, mc_r)
+                mc_g = jnp.where(gam, mc_g * mc_g, mc_g)
+                mc_b = jnp.where(gam, mc_b * mc_b, mc_b)
 
             col_r = mc_r * amb_r
             col_g = mc_g * amb_g
             col_b = mc_b * amb_b
 
-            def per_light(l, cols):
-                cr, cg, cb = cols
+            diffuse_v = flag_vec(PROP_DIFFUSE, bmat)
+            specular_v = flag_vec(PROP_SPECULAR, bmat)
+            metal_v = flag_vec(PROP_METAL, bmat)
+            for l in range(NL):
                 lpx, lpy, lpz = lg_f[l, 0], lg_f[l, 1], lg_f[l, 2]
                 lcr, lcg, lcb = lg_f[l, 3], lg_f[l, 4], lg_f[l, 5]
-                cnt, lnr, qdr, on = (lg_f[l, 6], lg_f[l, 7], lg_f[l, 8],
-                                     lg_f[l, 9])
+                cnt, lnr, qdr = lg_f[l, 6], lg_f[l, 7], lg_f[l, 8]
                 lvx, lvy, lvz = lpx - hx, lpy - hy, lpz - hz
                 r_dot = lvx * nx + lvy * ny + lvz * nz
-                lit = (r_dot > 0.0) & (on > 0) & hit
-                occ = intersect(hx, hy, hz, lvx, lvy, lvz, z,
-                                jnp.ones(shape, F32), bsrf, bside, zb,
-                                True, lit)
-                hm = lit & ~occ
+                lit = (r_dot > 0.0) & hit
+                occ = intersect(hx, hy, hz, lvx, lvy, lvz, z, one_t,
+                                bsrf, bside, zb, True, lit)
+                hm = lit & ~(occ != 0)
                 r2 = lvx * lvx + lvy * lvy + lvz * lvz
                 r = jnp.sqrt(jnp.maximum(r2, 1e-30))
                 attn = jax.lax.rsqrt(jnp.maximum(
                     cnt + lnr * r + qdr * r2, 1e-30))
-                dfs = jnp.where(hm & ((props & PROP_DIFFUSE) != 0),
-                                r_dot / r * attn * m_dff, 0.0)
-                rlx = lvx - 2.0 * r_dot * nx
-                rly = lvy - 2.0 * r_dot * ny
-                rlz = lvz - 2.0 * r_dot * nz
-                sdot = rlx * dx + rly * dy + rlz * dz
-                d2 = dx * dx + dy * dy + dz * dz
-                cosr = sdot * jax.lax.rsqrt(jnp.maximum(d2 * r2, 1e-30))
-                spc_on = hm & (sdot > 0.0) & ((props & PROP_SPECULAR) != 0)
-                cosr = jnp.clip(jnp.where(spc_on, cosr, 1.0), 1e-6, 1.0)
-                spc = jnp.where(
-                    spc_on, jnp.exp(m_pow * jnp.log(cosr)) * m_spc, 0.0)
-                tm = dfs + spc
-                cr = cr + jnp.where(metal, mc_r * lcr * tm,
-                                    mc_r * lcr * dfs + lcr * spc)
-                cg = cg + jnp.where(metal, mc_g * lcg * tm,
-                                    mc_g * lcg * dfs + lcg * spc)
-                cb = cb + jnp.where(metal, mc_b * lcb * tm,
-                                    mc_b * lcb * dfs + lcb * spc)
-                return cr, cg, cb
+                if diffuse_v is not None:
+                    dfs = jnp.where(hm & diffuse_v,
+                                    r_dot / r * attn * m_dff, 0.0)
+                else:
+                    dfs = z
+                if specular_v is not None:
+                    rlx = lvx - 2.0 * r_dot * nx
+                    rly = lvy - 2.0 * r_dot * ny
+                    rlz = lvz - 2.0 * r_dot * nz
+                    sdot = rlx * dx + rly * dy + rlz * dz
+                    d2 = dx * dx + dy * dy + dz * dz
+                    cosr = sdot * jax.lax.rsqrt(
+                        jnp.maximum(d2 * r2, 1e-30))
+                    spc_on = hm & (sdot > 0.0) & specular_v
+                    cosr = jnp.clip(jnp.where(spc_on, cosr, 1.0),
+                                    1e-6, 1.0)
+                    spc = jnp.where(
+                        spc_on, jnp.exp(m_pow * jnp.log(cosr)) * m_spc,
+                        0.0)
+                else:
+                    spc = z
+                if metal_v is not None:
+                    tm = dfs + spc
+                    col_r = col_r + jnp.where(metal_v, mc_r * lcr * tm,
+                                              mc_r * lcr * dfs + lcr * spc)
+                    col_g = col_g + jnp.where(metal_v, mc_g * lcg * tm,
+                                              mc_g * lcg * dfs + lcg * spc)
+                    col_b = col_b + jnp.where(metal_v, mc_b * lcb * tm,
+                                              mc_b * lcb * dfs + lcb * spc)
+                else:
+                    col_r = col_r + mc_r * lcr * dfs + lcr * spc
+                    col_g = col_g + mc_g * lcg * dfs + lcg * spc
+                    col_b = col_b + mc_b * lcb * dfs + lcb * spc
 
-            col_r, col_g, col_b = jax.lax.fori_loop(
-                0, NL, per_light, (col_r, col_g, col_b))
-            col_r = jnp.where(emissive, mc_r, col_r)
-            col_g = jnp.where(emissive, mc_g, col_g)
-            col_b = jnp.where(emissive, mc_b, col_b)
+            if any_emissive:
+                emissive = flag_vec(PROP_LIGHT, bmat)
+                col_r = jnp.where(emissive, mc_r, col_r)
+                col_g = jnp.where(emissive, mc_g, col_g)
+                col_b = jnp.where(emissive, mc_b, col_b)
 
             # Fresnel / refraction (tracer.cpp:3182-3424)
-            dl = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz,
-                                           1e-30))
-            rhx, rhy, rhz = dx * dl, dy * dl, dz * dl
-            dot = rhx * nx + rhy * ny + rhz * nz
-            eta = m_rfr
-            k = 1.0 - eta * eta + (eta * dot) ** 2
-            refracts = (props & PROP_REFRACT) != 0
-            tir = (k < 0.0) & refracts
-            sq = jnp.sqrt(jnp.maximum(k, 0.0))
-            rfx = jnp.where(refracts, eta * rhx - nx * (eta * dot + sq),
-                            rhx)
-            rfy = jnp.where(refracts, eta * rhy - ny * (eta * dot + sq),
-                            rhy)
-            rfz = jnp.where(refracts, eta * rhz - nz * (eta * dot + sq),
-                            rhz)
-            fres_on = (((props & PROP_FRESNEL) != 0) & (use_fres > 0)
-                       & ((props & PROP_OPAQUE) == 0))
-            rs = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
-            rp = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
-            Fr = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
-            Fr = jnp.where(fres_on, Fr, 0.0)
-            Fr = jnp.where(tir, 1.0, Fr)
-            c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
-            c_rfl = m_rfl + m_trn * Fr
+            if any_refract or any_fresnel:
+                dl = jax.lax.rsqrt(jnp.maximum(
+                    dx * dx + dy * dy + dz * dz, 1e-30))
+                rhx, rhy, rhz = dx * dl, dy * dl, dz * dl
+                dot = rhx * nx + rhy * ny + rhz * nz
+                eta = m_rfr
+                k = 1.0 - eta * eta + (eta * dot) ** 2
+                refracts = flag_vec(PROP_REFRACT, bmat)
+                if refracts is None:
+                    refracts = zb
+                tir = (k < 0.0) & refracts
+                sq = jnp.sqrt(jnp.maximum(k, 0.0))
+                rfx = jnp.where(refracts,
+                                eta * rhx - nx * (eta * dot + sq), rhx)
+                rfy = jnp.where(refracts,
+                                eta * rhy - ny * (eta * dot + sq), rhy)
+                rfz = jnp.where(refracts,
+                                eta * rhz - nz * (eta * dot + sq), rhz)
+                if any_fresnel:
+                    fres = flag_vec(PROP_FRESNEL, bmat)
+                    opaque = flag_vec(PROP_OPAQUE, bmat)
+                    fres_lanes = fres if opaque is None else (fres & ~opaque)
+                    rs = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
+                    rp = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
+                    Fr = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+                    Fr = jnp.where(fres_lanes, Fr, 0.0)
+                else:
+                    Fr = z
+                Fr = jnp.where(tir, 1.0, Fr)
+                c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
+                c_rfl = m_rfl + m_trn * Fr
+            else:
+                rfx, rfy, rfz = dx, dy, dz
+                c_trn = m_trn
+                c_rfl = m_rfl
 
             lw = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
             acc_r = acc_r + jnp.where(hit, thr_r * col_r * lw, 0.0)
             acc_g = acc_g + jnp.where(hit, thr_g * col_g * lw, 0.0)
             acc_b = acc_b + jnp.where(hit, thr_b * col_b * lw, 0.0)
+
+            if not any_cont:
+                # no material reflects or transmits: single segment
+                return (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
+                        depth, osrf, oside, thru_i, zi, acc_r, acc_g,
+                        acc_b, sp, stk, it + 1)
 
             # continuations
             deep_ok = depth < cfg.depth
@@ -603,7 +812,8 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
                     dep2, osrf2, osd2, thru2, act2, acc_r, acc_g, acc_b,
                     sp3, tuple(new_stk), it + 1)
 
-        stk0 = tuple(tuple(z for _ in range(12)) for _ in range(D))
+        ND = D if any_cont else 1  # stack not used without continuations
+        stk0 = tuple(tuple(z for _ in range(12)) for _ in range(ND))
         st0 = (ox, oy, oz, dx, dy, dz, tmn,
                z + 1.0, z + 1.0, z + 1.0, zi, zi - 1, zi + 1, zi,
                zi + 1, z, z, z, zi, stk0,
@@ -620,7 +830,74 @@ def _make_kernel(NS, NC, NM, NL, cfg: TraceConfig):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+_pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
+_PACK_CACHE: dict = {}
+
+
+def _get_packed(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
+    """Identity-keyed packed-scene cache: packing costs ~1 ms of XLA
+    gathers per call on TPU, so it must run once per SceneArrays, not
+    once per frame (the per-frame reserve/release analog, system.h)."""
+    key = id(sc.s_pos)
+    ent = _PACK_CACHE.get(key)
+    if ent is not None and ent[0] is sc.s_pos:
+        return ent[1]
+    ps = _pack_jit(sc, struct)
+    _PACK_CACHE[key] = (sc.s_pos, ps)
+    return ps
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
+                 struct: KernelStruct, cfg: TraceConfig, interpret: bool):
+    """Pallas dispatch on pre-tiled (R, 128) ray components; returns the
+    three (R, 128) color component tiles."""
+    R = ox.shape[0]
+    assert R % SUB == 0, f"ray tiles must pad to SUB={SUB} rows, got {R}"
+    grid = R // SUB
+    kern = _make_kernel(struct, cfg)
+    # index_map receives the scalar-prefetch refs after the grid index
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(grid,),
+        in_specs=[ray_spec] * 7,
+        out_specs=[ray_spec] * 3,
+    )
+    out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
+      ox, oy, oz, dx, dy, dz, tm)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _prep_and_trace(ps: PackedScene, org, dirs, t_min,
+                    struct: KernelStruct, cfg: TraceConfig,
+                    interpret: bool):
+    N = dirs.shape[0]
+    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    pad = npad - N
+    orgT = org.T        # one contiguous transpose beats 3 strided slices
+    dirsT = dirs.T
+
+    def prep(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(npad // LANES, LANES)
+
+    tiles = ([prep(orgT[i]) for i in range(3)]
+             + [prep(dirsT[i], 1.0) for i in range(3)]
+             + [prep(t_min.astype(F32), BIG)])
+    cr, cg, cb = _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
+                              interpret=interpret)
+    cols = jnp.stack([cr.reshape(-1), cg.reshape(-1), cb.reshape(-1)],
+                     axis=-1)
+    return cols[:N]
+
+
 def trace_rays_pallas(sc: SceneArrays, org, dirs, t_min,
                       cfg: TraceConfig = TraceConfig(),
                       interpret: bool = False):
@@ -630,46 +907,36 @@ def trace_rays_pallas(sc: SceneArrays, org, dirs, t_min,
     N = dirs.shape[0]
     if org.ndim == 1:
         org = jnp.broadcast_to(org[None, :], (N, 3))
-    ps = pack_scene(sc)
-    NS = sc.s_pos.shape[0]
-    NC = sc.c_op.shape[1]
-    NM = sc.m_props.shape[0]
-    NL = sc.l_pos.shape[0]
+    struct = _get_struct(sc)
+    ps = _get_packed(sc, struct)
+    return _prep_and_trace(ps, org, dirs, t_min, struct, cfg, interpret)
 
-    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
-    pad = npad - N
 
-    def prep(a, fill=0.0):
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.full((pad,), fill, a.dtype)])
-        return a.reshape(npad // LANES, LANES)
+@partial(jax.jit, static_argnames=("width", "height", "fsaa", "struct",
+                                   "cfg", "interpret"))
+def _render_impl(ps: PackedScene, cam, width, height, fsaa,
+                 struct: KernelStruct, cfg: TraceConfig, interpret: bool):
+    from quadray_tpu.ops.rays import camera_rays_tiled
+    cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov = cam
+    tiles = camera_rays_tiled(cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov,
+                              width, height, fsaa, BLOCK)
+    cr, cg, cb = _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
+                              interpret=interpret)
+    n = width * height * fsaa
+    comps = [jnp.clip(c.reshape(-1)[:n], 0.0, 1.0)
+             .reshape(height, width, fsaa).mean(axis=2)
+             for c in (cr, cg, cb)]
+    return jnp.stack(comps, axis=-1)
 
-    ox = prep(org[:, 0])
-    oy = prep(org[:, 1])
-    oz = prep(org[:, 2])
-    dx = prep(dirs[:, 0], 1.0)
-    dy = prep(dirs[:, 1], 1.0)
-    dz = prep(dirs[:, 2], 1.0)
-    tm = prep(t_min.astype(F32), BIG)
 
-    grid = npad // BLOCK
-    kern = _make_kernel(NS, NC, NM, NL, cfg)
-    # index_map receives the scalar-prefetch refs after the grid index
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=(grid,),
-        in_specs=[ray_spec] * 7,
-        out_specs=[ray_spec] * 3,
-    )
-    out_shape = [jax.ShapeDtypeStruct((npad // LANES, LANES), F32)] * 3
-    cr, cg, cb = pl.pallas_call(
-        kern, out_shape=out_shape, grid_spec=grid_spec,
-        interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.mat_i, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm)
-    cols = jnp.stack([cr.reshape(-1), cg.reshape(-1), cb.reshape(-1)],
-                     axis=-1)
-    return cols[:N]
+def render_pallas(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
+                  cfg: TraceConfig = TraceConfig(),
+                  interpret: bool = False):
+    """Full-frame fast path: tiled ray gen -> megakernel -> (H, W, 3)
+    linear image, all in one jit (no per-frame scene packing, no (N, 3)
+    layout round-trips)."""
+    struct = _get_struct(sc)
+    ps = _get_packed(sc, struct)
+    cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
+    return _render_impl(ps, cam, width, height, fsaa, struct, cfg,
+                        interpret)

@@ -58,3 +58,43 @@ def resolve_aa(colors, width: int, height: int, fsaa: int):
     """Average sub-samples back to (H, W, 3) (the pairwise-horizontal-add
     reduction of tracer.cpp:5241-5308, done as a mean)."""
     return colors.reshape(height, width, fsaa, 3).mean(axis=2)
+
+
+def camera_rays_tiled(cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov,
+                      width: int, height: int, fsaa: int, block: int):
+    """Primary rays in the Pallas kernel's native layout: seven (R, 128)
+    f32 tiles (ox oy oz dx dy dz tmin), flat count padded to a multiple
+    of ``block``; padding rays get tmin=1e30 so they never hit.
+
+    Component-wise (SoA) generation: building (N, 3) vectors and slicing
+    columns costs ~0.8 ms of strided HBM traffic per frame on TPU — the
+    tiled form is a contiguous reshape instead.
+    """
+    offs = AA_OFFSETS[fsaa]
+    n = width * height * fsaa
+    npad = ((n + block - 1) // block) * block
+    pad = npad - n
+    xs = jnp.arange(width, dtype=F32)
+    ys = jnp.arange(height, dtype=F32)
+    factor = 1.0 / width
+    aspect = height / width
+    comps = []
+    for c in range(3):
+        planes = []
+        for (dx, dy) in offs:
+            u = (xs + (0.5 + dx)) * factor - 0.5            # (W,)
+            v = (ys + (0.5 + dy)) * factor - 0.5 * aspect   # (H,)
+            planes.append(cam_nrm[c] * cam_pov
+                          + cam_hor[c] * u[None, :]
+                          + cam_ver[c] * v[:, None])        # (H, W)
+        d = jnp.stack(planes, axis=2).reshape(-1)           # (N,)
+        if pad:
+            d = jnp.concatenate([d, jnp.ones((pad,), F32)])
+        comps.append(d.reshape(npad // 128, 128))
+    shape = comps[0].shape
+    org = [jnp.full(shape, cam_pos[c], F32) for c in range(3)]
+    tmin = jnp.full((n,), cam_pov, F32)
+    if pad:
+        tmin = jnp.concatenate([tmin, jnp.full((pad,), 1e30, F32)])
+    tmin = tmin.reshape(shape)
+    return (*org, *comps, tmin)
