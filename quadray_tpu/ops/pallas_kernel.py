@@ -45,10 +45,10 @@ tracer.cpp:4378-4623):
     is invisible (matches the jnp path's argmin order).
 
 VMEM budget: the while-loop carry holds ~18 ray tiles plus (when any
-material reflects or refracts) a branch stack of cfg.stack x 12
-(SUB, 128) f32 tiles; at SUB=64, stack=10 that is ~4.6 MB before
-temporaries. trace_rays_auto falls back to the jnp path if Mosaic fails
-to compile.
+material can spawn both a reflection and a refraction branch) a branch
+stack of cfg.stack x 12 (SUB, 128) f32 tiles; at SUB=64, stack=10 that
+is ~4.6 MB before temporaries. render_pallas falls back to the jnp
+renderer for scenes the kernel does not support.
 """
 
 from __future__ import annotations
@@ -119,6 +119,8 @@ class KernelStruct(NamedTuple):
     gamma_on: bool
     fres_on: bool
     any_cont: bool          # any material reflects or transmits
+    can_push: bool          # any material can spawn BOTH branches (needs
+    # the branch stack); False drops all push/pop machinery
 
 
 def _mat_blocks(props: np.ndarray) -> np.ndarray:
@@ -168,9 +170,22 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
     perm.extend(padding)
     perm_a = np.array(perm, np.int32)
 
-    nl = int(np.asarray(sc.l_on).sum())
+    l_on = np.asarray(sc.l_on)
+    nl = int(l_on.sum())
+    # the kernel unrolls lights over the first nl table rows; compile_scene
+    # guarantees active lights form a contiguous prefix — fail loudly if a
+    # different SceneArrays producer ever violates that
+    assert np.all(l_on[:nl] == 1) and np.all(l_on[nl:] == 0), \
+        "active lights must form a contiguous prefix of the light tables"
     any_cont = bool(np.any(((props & PROP_REFLECT) != 0)
                            | ((props & PROP_OPAQUE) == 0)))
+    fres_on = bool(np.asarray(sc.use_fresnel) > 0)
+    # both branches (reflect AND transmit) can fire only for materials with
+    # trn>0 and a reflective term (rfl>0, or Fresnel moving trn*F into rfl)
+    can_push = bool(np.any(
+        ((props & PROP_OPAQUE) == 0)
+        & (((props & PROP_REFLECT) != 0)
+           | (fres_on & ((props & PROP_FRESNEL) != 0)))))
     return KernelStruct(
         ns=NS, nc=NC, nm=int(props.shape[0]), nl=nl,
         groups=tuple(groups), perm=tuple(int(i) for i in perm_a),
@@ -178,24 +193,41 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
         blk=tuple(int(v) for v in blk[perm_a]),
         props=tuple(int(p) for p in props),
         gamma_on=bool(np.asarray(sc.use_gamma) > 0),
-        fres_on=bool(np.asarray(sc.use_fresnel) > 0),
-        any_cont=any_cont)
+        fres_on=fres_on,
+        any_cont=any_cont,
+        can_push=can_push)
 
 
-_STRUCT_CACHE: dict = {}
+class _SceneCache:
+    """Bounded identity-keyed cache over whole SceneArrays pytrees.
+
+    Keyed on the identity of EVERY leaf, so a SceneArrays derived via
+    _replace (even of a single field) misses and recomputes instead of
+    silently reusing stale data; bounded LRU so long animations don't
+    retain every frame's device buffers."""
+
+    def __init__(self, fn, maxlen: int = 8):
+        from collections import OrderedDict
+        self._fn = fn
+        self._maxlen = maxlen
+        self._entries = OrderedDict()
+
+    def __call__(self, sc: SceneArrays, *args):
+        leaves = jax.tree_util.tree_leaves(sc)
+        key = tuple(id(leaf) for leaf in leaves) + tuple(
+            id(a) for a in args)
+        ent = self._entries.get(key)
+        if ent is not None and all(a is b for a, b in zip(ent[0], leaves)):
+            self._entries.move_to_end(key)
+            return ent[1]
+        val = self._fn(sc, *args)
+        self._entries[key] = (leaves, val)
+        while len(self._entries) > self._maxlen:
+            self._entries.popitem(last=False)
+        return val
 
 
-def _get_struct(sc: SceneArrays) -> KernelStruct:
-    """Identity-keyed cache: animated frames reuse the structure without a
-    device->host sync per call (structure cannot change without a new
-    SceneArrays pytree)."""
-    key = id(sc.s_kind)
-    ent = _STRUCT_CACHE.get(key)
-    if ent is not None and ent[0] is sc.s_kind:
-        return ent[1]
-    st = scene_struct(sc)
-    _STRUCT_CACHE[key] = (sc.s_kind, st)
-    return st
+_get_struct = _SceneCache(scene_struct)
 
 
 def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
@@ -395,7 +427,10 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz,
                      bmat) = carry
                     t = jnp.where(v, t, BIG)
-                    better = (t < bt) | ((t == bt) & (origid < bsrf))
+                    # (t < BIG) keeps misses (t == bt == BIG, origid <
+                    # bsrf init) from overwriting the carry
+                    better = (t < BIG) & (
+                        (t < bt) | ((t == bt) & (origid < bsrf)))
                     # plane world normal = third row of inv, side-flipped
                     sf = side.astype(F32)
                     midx = jnp.where(side > 0, sp_i[s, SI_MO],
@@ -543,7 +578,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
 
                 (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz, bmat) = \
                     carry
-                better = (t < bt) | ((t == bt) & (origid < bsrf))
+                better = (t < BIG) & (
+                    (t < bt) | ((t == bt) & (origid < bsrf)))
                 # world normal = inv^T grad, flipped to hit side
                 nwx = (P["i00"] * gx + P["i10"] * gy + P["i20"] * gz)
                 nwy = (P["i01"] * gx + P["i11"] * gy + P["i21"] * gz)
@@ -575,8 +611,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 if n == 0:
                     continue
                 body = make_body(grp, shadow, rays)
-                if n == 1:
-                    carry = body(grp.start, carry)
+                if n <= 16:
+                    # unroll: constant surface indices make every sp_f/sp_i
+                    # access a static SMEM offset Mosaic can hoist out of
+                    # the segment while_loop (they are loop-invariant)
+                    for s in range(grp.start, grp.start + n):
+                        carry = body(s, carry)
                 else:
                     carry = jax.lax.fori_loop(grp.start, grp.start + n,
                                               body, carry)
@@ -756,6 +796,39 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             rly2 = dy - 2.0 * ddn * ny
             rlz2 = dz - 2.0 * ddn * nz
 
+            cont = go_rfl | go_trn
+            use_rfl = go_rfl
+            n_ox, n_oy, n_oz = hx, hy, hz
+            n_dx = jnp.where(use_rfl, rlx2, rfx)
+            n_dy = jnp.where(use_rfl, rly2, rfy)
+            n_dz = jnp.where(use_rfl, rlz2, rfz)
+            n_tr = jnp.where(use_rfl, trl_r, trn_r)
+            n_tg = jnp.where(use_rfl, trl_g, trn_g)
+            n_tb = jnp.where(use_rfl, trl_b, trn_b)
+            w2 = lambda c_, a_, b_: jnp.where(c_, a_, b_)
+
+            if not struct.can_push:
+                # no material can spawn both branches: the stack can never
+                # hold anything, so push/pop machinery drops out entirely
+                ox2 = w2(cont, n_ox, ox)
+                oy2 = w2(cont, n_oy, oy)
+                oz2 = w2(cont, n_oz, oz)
+                dx2 = w2(cont, n_dx, dx)
+                dy2 = w2(cont, n_dy, dy)
+                dz2 = w2(cont, n_dz, dz)
+                tr2 = w2(cont, n_tr, thr_r)
+                tg2 = w2(cont, n_tg, thr_g)
+                tb2 = w2(cont, n_tb, thr_b)
+                dep2 = w2(cont, depth + 1, depth)
+                osrf2 = w2(cont, bsrf, osrf)
+                osd2 = w2(cont, bside, oside)
+                thru2 = (cont & ~use_rfl).astype(I32)
+                tmn2 = jnp.where(cont, 0.0, tmn)
+                act2 = (active & cont).astype(I32)
+                return (ox2, oy2, oz2, dx2, dy2, dz2, tmn2, tr2, tg2,
+                        tb2, dep2, osrf2, osd2, thru2, act2, acc_r,
+                        acc_g, acc_b, sp, stk, it + 1)
+
             push = go_rfl & go_trn & (sp < D)
             new_stk = []
             vals = (hx, hy, hz, rfx, rfy, rfz, trn_r, trn_g, trn_b,
@@ -768,16 +841,6 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     jnp.where(at_k, v, sl) for v, sl in zip(vals, slot)))
             sp2 = sp + push.astype(I32)
 
-            cont = go_rfl | go_trn
-            use_rfl = go_rfl
-            n_ox, n_oy, n_oz = hx, hy, hz
-            n_dx = jnp.where(use_rfl, rlx2, rfx)
-            n_dy = jnp.where(use_rfl, rly2, rfy)
-            n_dz = jnp.where(use_rfl, rlz2, rfz)
-            n_tr = jnp.where(use_rfl, trl_r, trn_r)
-            n_tg = jnp.where(use_rfl, trl_g, trn_g)
-            n_tb = jnp.where(use_rfl, trl_b, trn_b)
-
             can_pop = active & ~cont & (sp2 > 0)
             psp = jnp.maximum(sp2 - 1, 0)
             pops = []
@@ -789,7 +852,6 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             (p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_tr, p_tg, p_tb,
              p_dep, p_srf, p_side) = pops
 
-            w2 = lambda c_, a_, b_: jnp.where(c_, a_, b_)
             ox2 = w2(cont, n_ox, w2(can_pop, p_ox, ox))
             oy2 = w2(cont, n_oy, w2(can_pop, p_oy, oy))
             oz2 = w2(cont, n_oz, w2(can_pop, p_oz, oz))
@@ -812,7 +874,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     dep2, osrf2, osd2, thru2, act2, acc_r, acc_g, acc_b,
                     sp3, tuple(new_stk), it + 1)
 
-        ND = D if any_cont else 1  # stack not used without continuations
+        # stack only materializes when both branches can fire at once
+        ND = D if (any_cont and struct.can_push) else 1
         stk0 = tuple(tuple(z for _ in range(12)) for _ in range(ND))
         st0 = (ox, oy, oz, dx, dy, dz, tmn,
                z + 1.0, z + 1.0, z + 1.0, zi, zi - 1, zi + 1, zi,
@@ -831,20 +894,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
 
 
 _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
-_PACK_CACHE: dict = {}
 
-
-def _get_packed(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
-    """Identity-keyed packed-scene cache: packing costs ~1 ms of XLA
-    gathers per call on TPU, so it must run once per SceneArrays, not
-    once per frame (the per-frame reserve/release analog, system.h)."""
-    key = id(sc.s_pos)
-    ent = _PACK_CACHE.get(key)
-    if ent is not None and ent[0] is sc.s_pos:
-        return ent[1]
-    ps = _pack_jit(sc, struct)
-    _PACK_CACHE[key] = (sc.s_pos, ps)
-    return ps
+# packed-scene cache: packing costs ~1 ms of XLA gathers per call on TPU,
+# so it must run once per SceneArrays, not once per frame (the per-frame
+# reserve/release analog, system.h)
+_get_packed = _SceneCache(_pack_jit)
 
 
 @partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
@@ -934,7 +988,11 @@ def render_pallas(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
                   interpret: bool = False):
     """Full-frame fast path: tiled ray gen -> megakernel -> (H, W, 3)
     linear image, all in one jit (no per-frame scene packing, no (N, 3)
-    layout round-trips)."""
+    layout round-trips). Falls back to the jnp renderer for scenes the
+    kernel does not support (rather than silently rendering wrong)."""
+    if not kernel_supported(sc):
+        from quadray_tpu.ops.trace import render as render_jnp
+        return render_jnp(sc, width, height, fsaa, cfg)
     struct = _get_struct(sc)
     ps = _get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)

@@ -426,9 +426,39 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
                   nl: Optional[int] = None) -> SceneArrays:
     """Compile a SceneDef at a given time into SceneArrays.
 
-    Static shapes: NS surfaces / NC clip entries / NL lights / NM materials
-    are padded (pow2) so recompiles at different times hit the jit cache.
+    Scene compilation is host work (the analog of the reference's update
+    phases 0.5-3 running on the CPU, engine.cpp:3013-3099): its eager jnp
+    math runs on the CPU backend and the finished SceneArrays pytree is
+    transferred to the default (TPU) device in one hop. Dispatching the
+    hundreds of tiny eager ops straight to a remote TPU costs ~100ms each
+    through a compile tunnel. Under a jit trace (differentiable/animated
+    paths) the math inlines into the caller's graph unchanged.
     """
+    try:
+        from jax.core import Tracer
+    except ImportError:  # pragma: no cover - jax layout drift
+        from jax._src.core import Tracer
+    leaves = jax.tree_util.tree_leaves((scene, time))
+    tracing = any(isinstance(leaf, Tracer) for leaf in leaves)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    dev = jax.devices()[0]
+    if tracing or cpu is None or dev.platform == "cpu":
+        return _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
+    with jax.default_device(cpu):
+        sc = _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
+    return jax.device_put(sc, dev)
+
+
+def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
+                        cam_index: int = 0,
+                        ns: Optional[int] = None, nc: Optional[int] = None,
+                        nl: Optional[int] = None) -> SceneArrays:
+    """Static shapes: NS surfaces / NC clip entries / NL lights / NM
+    materials are padded (pow2) so recompiles at different times hit the
+    jit cache."""
     col = _Collected()
     eye = jnp.eye(4, dtype=F32)
     _walk(col, scene.root, eye, time)
