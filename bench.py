@@ -34,6 +34,12 @@ import sys
 import time
 from functools import partial
 
+# persistent compilation cache (TPU Mosaic compiles cost minutes through
+# the remote compile helper; warm reruns then skip them)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/quadray_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 BASELINE = {  # golden/baseline_ref.json derived_primary_mrays_per_s * 1e6
     "test01": 87.9e6,
     "test03": 86.7e6,

@@ -79,8 +79,14 @@ BLOCK = SUB * LANES
 PF = 34           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
 #                   scjh 15-17, sciw 18, cmin 19-21, cmax 22-24, fwd 25-33
 CF = 22           # per-clip-entry floats
-MF = 10           # per-material floats
+MF = 14           # per-material floats: col 0-2, dff/spc/pow 3-5,
+#                   rfl/trn/rfr/ext 6-9, tex scl 10-11, tex off 12-13
 LF = 10           # per-light floats
+
+# texel u8 -> f32 decode LUT; MUST be built with the same numpy f32
+# division as scene.compile._texture_array so kernel texels match the
+# jnp path's tex_data bit-exactly (TPU f32 division rounds differently)
+_TEX_LUT = (np.arange(256, dtype=np.float32) / 255.0).reshape(2, 128)
 
 # sp_i columns
 SI_KIND, SI_MO, SI_MI, SI_BLK, SI_SING, SI_NCL, SI_OID = range(7)
@@ -93,6 +99,8 @@ class PackedScene(NamedTuple):
     mat_f: jnp.ndarray   # (NM, MF) f32
     lg_f: jnp.ndarray    # (NL, LF) f32
     misc: jnp.ndarray    # (8,) f32: amb_rgb, use_gamma, use_fresnel, pad
+    tex_pk: jnp.ndarray  # (G, 128) i32 texture atlas, u8 rgb packed
+    tex_lut: jnp.ndarray  # (2, 128) f32 u8 -> f32 texel decode LUT
 
 
 class Group(NamedTuple):
@@ -121,6 +129,9 @@ class KernelStruct(NamedTuple):
     any_cont: bool          # any material reflects or transmits
     can_push: bool          # any material can spawn BOTH branches (needs
     # the branch stack); False drops all push/pop machinery
+    tex: tuple              # per textured material: (mat_idx, base,
+    # xmask, ymask, xshift) — static pow-2 addressing (tracer.cpp:2297)
+    tex_rows: int           # texture table height G (128 texels per row)
 
 
 def _mat_blocks(props: np.ndarray) -> np.ndarray:
@@ -133,6 +144,8 @@ def _mat_blocks(props: np.ndarray) -> np.ndarray:
 
 def scene_struct(sc: SceneArrays) -> KernelStruct:
     """Extract the static structure (host-side numpy)."""
+    from quadray_tpu.scene.compile import host_view
+    sc = host_view(sc)
     kind = np.asarray(sc.s_kind)
     sing = np.asarray(sc.s_sing)
     cop = np.asarray(sc.c_op)
@@ -186,6 +199,17 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
         ((props & PROP_OPAQUE) == 0)
         & (((props & PROP_REFLECT) != 0)
            | (fres_on & ((props & PROP_FRESNEL) != 0)))))
+    t_base = np.asarray(sc.m_tex_base)
+    t_xm = np.asarray(sc.m_tex_xmask)
+    t_ym = np.asarray(sc.m_tex_ymask)
+    t_xs = np.asarray(sc.m_tex_xshift)
+    tex = tuple(
+        (int(m), int(t_base[m]), int(t_xm[m]), int(t_ym[m]), int(t_xs[m]))
+        for m in range(props.shape[0])
+        if (props[m] & PROP_TEXTURE) and t_base[m] >= 0)
+    t_len = int(sc.tex_data.shape[0])
+    g = -(-t_len // LANES)
+    tex_rows = max(8, (g + 7) & ~7)  # pad to 8-sublane tiles
     return KernelStruct(
         ns=NS, nc=NC, nm=int(props.shape[0]), nl=nl,
         groups=tuple(groups), perm=tuple(int(i) for i in perm_a),
@@ -195,7 +219,9 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
         gamma_on=bool(np.asarray(sc.use_gamma) > 0),
         fres_on=fres_on,
         any_cont=any_cont,
-        can_push=can_push)
+        can_push=can_push,
+        tex=tex,
+        tex_rows=tex_rows)
 
 
 class _SceneCache:
@@ -258,20 +284,32 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
     ], axis=2).astype(F32)[perm].reshape(NS, NC * CF)
     mat_f = jnp.stack([
         sc.m_col[:, 0], sc.m_col[:, 1], sc.m_col[:, 2], sc.m_dff, sc.m_spc,
-        sc.m_pow, sc.m_rfl, sc.m_trn, sc.m_rfr, sc.m_ext], axis=1)
+        sc.m_pow, sc.m_rfl, sc.m_trn, sc.m_rfr, sc.m_ext,
+        sc.m_tex_scl[:, 0], sc.m_tex_scl[:, 1],
+        sc.m_tex_off[:, 0], sc.m_tex_off[:, 1]], axis=1)
     lg_f = jnp.concatenate([
         sc.l_pos, sc.l_col, sc.l_cnt[:, None], sc.l_lnr[:, None],
         sc.l_qdr[:, None], sc.l_on[:, None]], axis=1).astype(F32)
     misc = jnp.concatenate([
         sc.amb_col, sc.use_gamma[None], sc.use_fresnel[None],
         jnp.zeros((3,), F32)])
-    return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc)
+    # texture atlas packed for in-kernel gather: u8 rgb in one i32 per
+    # texel, 128 texels per row (tex_data is u8/255 so this is lossless;
+    # the kernel decodes through the same-division LUT)
+    G = struct.tex_rows
+    k8 = jnp.round(sc.tex_data * 255.0).astype(I32)
+    pk = (k8[:, 0] << 16) | (k8[:, 1] << 8) | k8[:, 2]
+    pad = G * LANES - pk.shape[0]
+    tex_pk = jnp.concatenate([pk, jnp.zeros((pad,), I32)]).reshape(G, LANES)
+    return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
+                       tex_pk, jnp.asarray(_TEX_LUT))
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
-    """Textured materials need the jnp path's gather (v2 limitation)."""
-    props = np.asarray(sc.m_props)
-    return not bool((props & PROP_TEXTURE).any())
+    """All scene features are kernel-supported since textures landed
+    (pow-2 mask/shift UV addressing + in-kernel atlas gather)."""
+    del sc
+    return True
 
 
 def _sdiv(num, den, fallback=BIG):
@@ -314,9 +352,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
     any_emissive = bool(mats_with(PROP_LIGHT))
     any_gamma = struct.gamma_on and bool(mats_with(PROP_GAMMA))
     any_cont = struct.any_cont
+    any_tex = bool(struct.tex)
+    NH = 12 if any_tex else 10   # nearest-hit carry width (+local hit uv)
 
     def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
                ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
+               tex_r, lut_r,
                cr_r, cg_r, cb_r):
 
         def clipentry(s, j):
@@ -425,7 +466,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                         return (carry | (v & blocks).astype(I32))
 
                     (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz,
-                     bmat) = carry
+                     bmat) = carry[:10]
                     t = jnp.where(v, t, BIG)
                     # (t < BIG) keeps misses (t == bt == BIG, origid <
                     # bsrf init) from overwriting the carry
@@ -436,10 +477,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     midx = jnp.where(side > 0, sp_i[s, SI_MO],
                                      sp_i[s, SI_MI])
                     sel = lambda a_, b_: jnp.where(better, a_, b_)
-                    return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                            sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                            sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
-                            sel(P["i22"] * sf, bnz), sel(midx, bmat))
+                    out = (sel(t, bt), sel(origid, bsrf), sel(side, bside),
+                           sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                           sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
+                           sel(P["i22"] * sf, bnz), sel(midx, bmat))
+                    if any_tex:
+                        out = out + (sel(hx, carry[10]),
+                                     sel(hy, carry[11]))
+                    return out
 
                 # ---- quadric / two-plane class -----------------------
                 Q = dict(sx=g(12), sy=g(13), sz=g(14),
@@ -577,7 +622,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 gz = sel_ab(ha[8], hb[8])
 
                 (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz, bmat) = \
-                    carry
+                    carry[:10]
                 better = (t < BIG) & (
                     (t < bt) | ((t == bt) & (origid < bsrf)))
                 # world normal = inv^T grad, flipped to hit side
@@ -587,10 +632,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 sf = side.astype(F32)
                 midx = jnp.where(side > 0, sp_i[s, SI_MO], sp_i[s, SI_MI])
                 sel = lambda a_, b_: jnp.where(better, a_, b_)
-                return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                        sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                        sel(nwx * sf, bnx), sel(nwy * sf, bny),
-                        sel(nwz * sf, bnz), sel(midx, bmat))
+                out = (sel(t, bt), sel(origid, bsrf), sel(side, bside),
+                       sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                       sel(nwx * sf, bnx), sel(nwy * sf, bny),
+                       sel(nwz * sf, bnz), sel(midx, bmat))
+                if any_tex:
+                    out = out + (sel(sel_ab(ha[0], hb[0]), carry[10]),
+                                 sel(sel_ab(ha[1], hb[1]), carry[11]))
+                return out
 
             return body
 
@@ -606,6 +655,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 zi = jnp.zeros(ox.shape, I32)
                 carry = (jnp.full(ox.shape, BIG, F32), zi + 0x7FFFFFF,
                          zi + 1, z, z, z, z, z, z, zi)
+                if any_tex:
+                    carry = carry + (z, z)
             for grp in struct.groups:
                 n = grp.n_block if shadow else grp.count
                 if n == 0:
@@ -627,10 +678,61 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             outs = None
             for m in range(NM):
                 selF = (midx == m).astype(F32)
-                vals = [selF * mat_f[m, k] for k in range(MF)]
+                vals = [selF * mat_f[m, k] for k in range(10)]
                 outs = vals if outs is None else [
                     o + v_ for o, v_ in zip(outs, vals)]
             return tuple(outs)
+
+        # ---- texture fetch (MT_tex, tracer.cpp:2297-2321) -------------
+        def tex_fetch(bmat, hlx, hly, mc_r, mc_g, mc_b):
+            """Pow-2 mask/shift UV addressing per textured material
+            (static constants), then one packed-u8 atlas gather: the
+            dynamic row loop spans only the texture rows the block
+            actually touches (ray coherence keeps that small), with a
+            128-wide lane gather per row. The reference does a per-lane
+            scalar fetch loop instead (PAINT_FRAG, tracer.cpp:653-662)."""
+            shape = bmat.shape
+            idx = jnp.zeros(shape, I32)
+            texmask = jnp.zeros(shape, jnp.bool_)
+            for (m, base, xm, ym, xs) in struct.tex:
+                lane = bmat == m
+                u = hlx - mat_f[m, 12]
+                v = hly - mat_f[m, 13]
+                ix = jnp.floor(u * float(xm + 1) / mat_f[m, 10]) \
+                    .astype(I32) & xm
+                iy = jnp.floor(v * float(ym + 1) / mat_f[m, 11]) \
+                    .astype(I32) & ym
+                id_m = base + (iy << xs) + ix
+                idx = jnp.where(lane, id_m, idx)
+                texmask = texmask | lane
+            lo = idx & (LANES - 1)
+            hi = idx >> 7
+            # row-loop bounds over textured lanes only; empty -> no trips
+            hmin = jnp.min(jnp.where(texmask, hi, jnp.int32(0x7FFFFFF)))
+            hmax = jnp.max(jnp.where(texmask, hi, jnp.int32(-1)))
+
+            def row(r, acc):
+                rowv = jnp.broadcast_to(tex_r[pl.ds(r, 1), :], shape)
+                g = jnp.take_along_axis(rowv, lo, axis=1)
+                return jnp.where(hi == r, g, acc)
+
+            texv = jax.lax.fori_loop(hmin, hmax + 1, row,
+                                     jnp.zeros(shape, I32))
+            lut0 = jnp.broadcast_to(lut_r[pl.ds(0, 1), :], shape)
+            lut1 = jnp.broadcast_to(lut_r[pl.ds(1, 1), :], shape)
+
+            def dec(k):
+                k7 = k & 127
+                return jnp.where(k >= 128,
+                                 jnp.take_along_axis(lut1, k7, axis=1),
+                                 jnp.take_along_axis(lut0, k7, axis=1))
+
+            t_r = dec((texv >> 16) & 255)
+            t_g = dec((texv >> 8) & 255)
+            t_b = dec(texv & 255)
+            return (jnp.where(texmask, t_r, mc_r),
+                    jnp.where(texmask, t_g, mc_g),
+                    jnp.where(texmask, t_b, mc_b))
 
         # ---- main loop -------------------------------------------------
         ox = ox_r[:]
@@ -656,9 +758,10 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             thru = thru_i != 0
             active = active_i != 0
 
-            (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat) = intersect(
+            hitres = intersect(
                 ox, oy, oz, dx, dy, dz, tmn, big_t, osrf, oside, thru,
                 False, active)
+            (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat) = hitres[:10]
             hit = (bt < BIG) & active
             # normalize normal
             nn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
@@ -667,6 +770,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
 
             (mc_r, mc_g, mc_b, m_dff, m_spc, m_pow, m_rfl, m_trn, m_rfr,
              m_ext) = mat_params(bmat)
+            if any_tex:
+                mc_r, mc_g, mc_b = tex_fetch(bmat, hitres[10], hitres[11],
+                                             mc_r, mc_g, mc_b)
             if any_gamma:
                 # gamma decode x^2 (PAINT_COLX, tracer.cpp:664-673)
                 gam = flag_vec(PROP_GAMMA, bmat)
@@ -913,10 +1019,15 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     # index_map receives the scalar-prefetch refs after the grid index
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
+    G = ps.tex_pk.shape[0]
+    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(grid,),
-        in_specs=[ray_spec] * 7,
+        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
         out_specs=[ray_spec] * 3,
     )
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
@@ -924,7 +1035,7 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
     )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm)
+      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
 
 
 @partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))

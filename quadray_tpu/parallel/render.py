@@ -58,3 +58,39 @@ def render_sharded(sc, width: int, height: int, mesh, fsaa: int = 1,
     cols = _sharded_trace(sc, org, dirs, t_min, cfg, mesh, differentiable)
     cols = jnp.clip(cols[:n], 0.0, 1.0)
     return resolve_aa(cols, width, height, fsaa)
+
+
+def render_sharded_pallas(sc, width: int, height: int, mesh, fsaa: int = 1,
+                          cfg: TraceConfig = TraceConfig(),
+                          interpret: bool = False):
+    """Full-frame sharded render on the Pallas fast path: ray tiles are
+    sharded in contiguous blocks over the mesh ray axis, the packed scene
+    is replicated, and each device runs the megakernel over its own tile
+    rows (the multi-chip analog of the scanline-interleaved thread pool,
+    engine.cpp:3458-3477). interpret=True runs the kernel in Pallas
+    interpret mode so the sharding itself is testable on a CPU mesh."""
+    import quadray_tpu.ops.pallas_kernel as pk
+    from quadray_tpu.ops.rays import camera_rays_tiled
+
+    nd = mesh.devices.size
+    struct = pk._get_struct(sc)
+    ps = pk._get_packed(sc, struct)
+    tiles = camera_rays_tiled(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                              sc.cam_nrm, sc.cam_pov, width, height, fsaa,
+                              pk.BLOCK * nd)
+    spec_r = P(RAY_AXIS)
+    ps_specs = jax.tree_util.tree_map(lambda _: P(), ps)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(ps_specs,) + (spec_r,) * 7,
+             out_specs=(spec_r,) * 3, check_vma=False)
+    def go(ps_rep, *tiles_blk):
+        return pk._trace_tiled(ps_rep, *tiles_blk, struct=struct, cfg=cfg,
+                               interpret=interpret)
+
+    cr, cg, cb = go(ps, *tiles)
+    n = width * height * fsaa
+    comps = [jnp.clip(c.reshape(-1)[:n], 0.0, 1.0)
+             .reshape(height, width, fsaa).mean(axis=2)
+             for c in (cr, cg, cb)]
+    return jnp.stack(comps, axis=-1)

@@ -449,7 +449,40 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         return _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
     with jax.default_device(cpu):
         sc = _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
-    return jax.device_put(sc, dev)
+    sc_dev = jax.device_put(sc, dev)
+    _register_host_mirror(sc_dev, sc)
+    return sc_dev
+
+
+_HOST_MIRROR: "OrderedDict" = None  # created lazily
+
+
+def _register_host_mirror(sc_dev: SceneArrays, sc_host: SceneArrays,
+                          maxlen: int = 8) -> None:
+    global _HOST_MIRROR
+    from collections import OrderedDict
+    if _HOST_MIRROR is None:
+        _HOST_MIRROR = OrderedDict()
+    leaves = jax.tree_util.tree_leaves(sc_dev)
+    key = tuple(id(leaf) for leaf in leaves)
+    _HOST_MIRROR[key] = (leaves, sc_host)
+    while len(_HOST_MIRROR) > maxlen:
+        _HOST_MIRROR.popitem(last=False)
+
+
+def host_view(sc: SceneArrays) -> SceneArrays:
+    """Return a host(CPU)-backed view of a compiled SceneArrays if one is
+    known, else ``sc`` itself. Host-side passes (kernel structure
+    extraction) use this to avoid per-field device->host transfers, which
+    cost seconds each through a TPU tunnel."""
+    if _HOST_MIRROR is None:
+        return sc
+    leaves = jax.tree_util.tree_leaves(sc)
+    key = tuple(id(leaf) for leaf in leaves)
+    ent = _HOST_MIRROR.get(key)
+    if ent is not None and all(a is b for a, b in zip(ent[0], leaves)):
+        return ent[1]
+    return sc
 
 
 def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,

@@ -18,6 +18,12 @@ import pytest
 
 RUN_TPU = os.environ.get("QUADRAY_TPU_TESTS") == "1"
 
+# persistent compilation cache: TPU Mosaic compiles of the megakernel
+# cost minutes through the remote compile helper; cache them across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/quadray_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 if not RUN_TPU:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
