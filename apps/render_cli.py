@@ -56,7 +56,7 @@ def main():
     from quadray_tpu.utils.digits import draw_number
 
     sdef = demos.build(f"demo{args.d:02d}")
-    pfm = Platform(fsaa=args.a)
+    pfm = Platform(fsaa=args.a, use_pallas=False if args.p else None)
     scene = Scene(sdef, args.x, args.y, pfm=pfm)
 
     os.makedirs("dump", exist_ok=True)

@@ -26,9 +26,11 @@ class Platform:
     """Owns global config (fsaa, depth) and the scene list
     (rt_Platform, engine.cpp:512-798)."""
 
-    def __init__(self, fsaa: int = 1, depth: int = 10):
+    def __init__(self, fsaa: int = 1, depth: int = 10,
+                 use_pallas: Optional[bool] = None):
         self.fsaa = fsaa
         self.depth = depth
+        self.use_pallas = use_pallas  # None = auto (TPU backend)
         self.scenes = []
 
     def add(self, scene: "Scene"):
@@ -54,6 +56,8 @@ class Scene:
         # (rt_Scene ctor engine.cpp:2873 + set_opts engine.cpp:3714-3724)
         self.opts = S.OPTS_FULL & ~sdef.opts
         self._arrays: Optional[SceneArrays] = None
+        self._update_jit = None
+        self._struct = None
         self._time = 0.0
         self.frame = np.zeros((height, width, 3), np.uint8)
         # progressive path-tracer state (pseed/ptr planes analog,
@@ -63,13 +67,45 @@ class Scene:
         self._pt_samples = 0
         self._pt_seeds = None
 
-    # -- update pipeline (phase 0.5-3 analog: recompile scene at time t)
+    # -- update pipeline (phase 0.5-3 analog). The FIRST update runs the
+    # full host-side structure pass (hierarchy walk + relation compile);
+    # every later update at a new time is one jitted numeric pass
+    # f(t) -> SceneArrays (animators are pure functions of t, the
+    # structure cannot change), so animated frames do no per-frame Python
+    # hierarchy walk (SURVEY §7.1 "scene compiler" row)
     def update(self, t: float = 0.0):
         self._time = t
-        self._arrays = compile_scene(
-            S.SceneDef(root=self.sdef.root, opts=self.opts), time=t,
-            cam_index=self.cam_index)
+        if self._arrays is None:
+            self._arrays = compile_scene(
+                S.SceneDef(root=self.sdef.root, opts=self.opts), time=t,
+                cam_index=self.cam_index)
+            self._struct = self._kernel_struct(self._arrays)
+        else:
+            if self._update_jit is None:
+                from quadray_tpu.scene.compile import _compile_scene_impl
+                sdef = S.SceneDef(root=self.sdef.root, opts=self.opts)
+                shapes = dict(
+                    ns=self._arrays.s_kind.shape[0],
+                    nc=self._arrays.c_op.shape[1],
+                    nl=self._arrays.l_on.shape[0])
+                self._update_jit = jax.jit(
+                    lambda tt: _compile_scene_impl(
+                        sdef, tt, self.cam_index, **shapes))
+            self._arrays = self._update_jit(jnp.float32(t))
         return self._arrays
+
+    def _kernel_struct(self, sc: SceneArrays):
+        """Static kernel structure, extracted once (it is time-invariant
+        for a scene; per-frame SceneArrays reuse it)."""
+        if not self._use_pallas():
+            return None
+        import quadray_tpu.ops.pallas_kernel as pk
+        return pk._get_struct(sc) if pk.kernel_supported(sc) else None
+
+    def _use_pallas(self) -> bool:
+        if self.pfm.use_pallas is not None:
+            return self.pfm.use_pallas
+        return jax.devices()[0].platform == "tpu"
 
     @property
     def arrays(self) -> SceneArrays:
@@ -118,14 +154,20 @@ class Scene:
         return self.frame
 
     def render(self, t: Optional[float] = None) -> np.ndarray:
-        """Render a frame at time t; returns (H, W, 3) uint8."""
+        """Render a frame at time t; returns (H, W, 3) uint8. Uses the
+        Pallas megakernel on TPU, the jnp tracer elsewhere."""
         if t is not None or self._arrays is None:
             self.update(t if t is not None else self._time)
         if self.pt_on:
             return self.render_pt_pass()
         sc = self.arrays
         cfg = TraceConfig(depth=self.pfm.depth)
-        img = _render(sc, self.width, self.height, self.pfm.fsaa, cfg)
+        if self._struct is not None:
+            import quadray_tpu.ops.pallas_kernel as pk
+            img = pk.render_pallas(sc, self.width, self.height,
+                                   self.pfm.fsaa, cfg, struct=self._struct)
+        else:
+            img = _render(sc, self.width, self.height, self.pfm.fsaa, cfg)
         self.frame = np.asarray(to_frame(img, sc.use_gamma))
         return self.frame
 
@@ -143,6 +185,8 @@ class Scene:
     def set_opts(self, opts: int):
         self.opts = opts & ~self.sdef.opts
         self._arrays = None
+        self._update_jit = None
+        self._struct = None
 
     def print_state(self, log=print):
         """State dump for reproduction (print_state analog,

@@ -1096,15 +1096,17 @@ def _render_impl(ps: PackedScene, cam, width, height, fsaa,
 
 def render_pallas(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
                   cfg: TraceConfig = TraceConfig(),
-                  interpret: bool = False):
+                  interpret: bool = False, struct: KernelStruct = None):
     """Full-frame fast path: tiled ray gen -> megakernel -> (H, W, 3)
     linear image, all in one jit (no per-frame scene packing, no (N, 3)
     layout round-trips). Falls back to the jnp renderer for scenes the
-    kernel does not support (rather than silently rendering wrong)."""
+    kernel does not support (rather than silently rendering wrong).
+    `struct` lets callers with per-frame animated SceneArrays reuse the
+    time-invariant kernel structure without a device round-trip."""
     if not kernel_supported(sc):
         from quadray_tpu.ops.trace import render as render_jnp
         return render_jnp(sc, width, height, fsaa, cfg)
-    struct = _get_struct(sc)
+    struct = struct or _get_struct(sc)
     ps = _get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
     return _render_impl(ps, cam, width, height, fsaa, struct, cfg,

@@ -639,19 +639,20 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
                 m_tex_scl[mi] = np.asarray(side.scl, np.float32)
                 m_tex_off[mi] = np.asarray(side.pos, np.float32)
 
-    # ---- lights + ambient accumulation (engine.cpp:3262-3272)
-    l_pos = np.zeros((NL, 3), np.float32)
+    # ---- lights + ambient accumulation (engine.cpp:3262-3272).
+    # Positions come from the (possibly animator-traced) matrices so they
+    # are stacked as jnp; the scalar attenuation terms are static data
     l_col = np.zeros((NL, 3), np.float32)
     l_cnt = np.ones((NL,), np.float32)
     l_lnr = np.zeros((NL,), np.float32)
     l_qdr = np.zeros((NL,), np.float32)
     l_on = np.zeros((NL,), np.float32)
     amb = np.zeros((3,), np.float32)
+    lp_rows = []
     for li, ld in enumerate(col.lights):
         lgt: S.Light = ld["lgt"]
-        pos = np.asarray(ld["mtx"][:3, 3])
+        lp_rows.append(ld["mtx"][:3, 3])
         colr = _unpack_color(lgt.col)
-        l_pos[li] = pos
         l_col[li] = colr * float(np.asarray(lgt.src))
         # reference biases constant attenuation by +1 (object.cpp:617)
         l_cnt[li] = float(np.asarray(lgt.cnt)) + 1.0
@@ -659,6 +660,8 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
         l_qdr[li] = float(np.asarray(lgt.qdr))
         l_on[li] = 1.0
         amb += colr * float(np.asarray(lgt.amb))
+    lp_rows += [jnp.zeros((3,), F32)] * (NL - len(col.lights))
+    l_pos = jnp.stack(lp_rows).astype(F32)
 
     # ---- camera (basis = columns of world matrix; ray steppers are
     # generated in ops.rays following engine.cpp:3032-3055, 3256-3259)

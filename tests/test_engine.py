@@ -1,0 +1,48 @@
+"""Engine facade tests: animated update path + API surface."""
+
+import numpy as np
+
+from quadray_tpu.engine import Platform, Scene
+from quadray_tpu.models.scenes import demos
+from quadray_tpu.scene import schema as S
+from quadray_tpu.scene.compile import compile_scene
+from quadray_tpu.ops.trace import render, to_frame, TraceConfig
+
+W, H = 64, 40
+
+
+def test_animated_update_jit_matches_eager_recompile():
+    """After the first frame, Scene.update(t) runs a jitted numeric pass
+    (no Python hierarchy walk); its frames must be bit-identical to a
+    from-scratch eager recompile at the same time."""
+    sdef = demos.build("demo01")
+    sc = Scene(sdef, W, H)
+    f0 = sc.render(0.0)      # first update: eager structure pass
+    sc.render(700.0)         # compiles the jitted numeric pass
+    f2 = sc.render(1400.0)   # cached jitted pass
+
+    eff = S.OPTS_FULL & ~sdef.opts
+    sc_e = compile_scene(S.SceneDef(root=sdef.root, opts=eff), time=1400.0)
+    img = render(sc_e, W, H, 1, TraceConfig())
+    f2_ref = np.asarray(to_frame(img, sc_e.use_gamma))
+    assert np.array_equal(f2, f2_ref)
+    assert not np.array_equal(f0, f2), "animators should move the scene"
+
+
+def test_fsaa_render_shapes():
+    sdef = demos.build("demo01")
+    for fsaa in (1, 2, 4):
+        sc = Scene(sdef, W, H, pfm=Platform(fsaa=fsaa))
+        f = sc.render(0.0)
+        assert f.shape == (H, W, 3)
+
+
+def test_save_frame_roundtrip(tmp_path):
+    from quadray_tpu.utils.image import load_bmp
+    sdef = demos.build("demo01")
+    sc = Scene(sdef, W, H)
+    sc.render(0.0)
+    p = str(tmp_path / "frame.bmp")
+    sc.save_frame(p)
+    back = load_bmp(p)
+    assert np.array_equal(back, sc.frame)
