@@ -418,7 +418,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
         # ---- per-class surface bodies --------------------------------
         def make_body(grp: Group, shadow, rays):
             (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-             wmask) = rays
+             olx, oly, olz, wmask) = rays
 
             def body(s, carry):
                 g = lambda k: sp_f[s, k]
@@ -428,6 +428,13 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 lx, ly, lz = to_local(P, ox, oy, oz)
                 ex, ey, ez = lin(P, dx, dy, dz)
                 origid = sp_i[s, SI_OID]
+                # secondary-ray local-diff reuse (tracer.cpp:1350-1373):
+                # the re-test of the originating surface uses the exact
+                # stored local hit as its local origin
+                same = osrf == origid
+                lx = jnp.where(same, olx, lx)
+                ly = jnp.where(same, oly, ly)
+                lz = jnp.where(same, olz, lz)
 
                 if grp.is_plane:
                     # plane root + ray-sign side (tracer.cpp:4062-4210)
@@ -455,7 +462,6 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     if grp.has_clips:
                         v = clip_program(s, sp_i[s, SI_NCL], v, wx, wy, wz)
                     # CHECK_SIDE exact self-intersection skip
-                    same = osrf == origid
                     v &= ~same | (thru ^ (side == oside))
 
                     if shadow:
@@ -477,14 +483,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     midx = jnp.where(side > 0, sp_i[s, SI_MO],
                                      sp_i[s, SI_MI])
                     sel = lambda a_, b_: jnp.where(better, a_, b_)
-                    out = (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                           sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                           sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
-                           sel(P["i22"] * sf, bnz), sel(midx, bmat))
-                    if any_tex:
-                        out = out + (sel(hx, carry[10]),
-                                     sel(hy, carry[11]))
-                    return out
+                    # local hit rides the carry: texture UV + the
+                    # origin_loc of any continuation ray (local-diff reuse)
+                    return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
+                            sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                            sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
+                            sel(P["i22"] * sf, bnz), sel(midx, bmat),
+                            sel(hx, carry[10]), sel(hy, carry[11]),
+                            sel(hz, carry[12]))
 
                 # ---- quadric / two-plane class -----------------------
                 Q = dict(sx=g(12), sy=g(13), sz=g(14),
@@ -592,7 +598,6 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     v &= (hz >= g(21)) & (hz <= g(24))
                     if grp.has_clips:
                         v = clip_program(s, sp_i[s, SI_NCL], v, wx, wy, wz)
-                    same = osrf == origid
                     v &= ~same | (thru ^ (side_val == oside))
                     return v
 
@@ -632,31 +637,28 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 sf = side.astype(F32)
                 midx = jnp.where(side > 0, sp_i[s, SI_MO], sp_i[s, SI_MI])
                 sel = lambda a_, b_: jnp.where(better, a_, b_)
-                out = (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                       sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                       sel(nwx * sf, bnx), sel(nwy * sf, bny),
-                       sel(nwz * sf, bnz), sel(midx, bmat))
-                if any_tex:
-                    out = out + (sel(sel_ab(ha[0], hb[0]), carry[10]),
-                                 sel(sel_ab(ha[1], hb[1]), carry[11]))
-                return out
+                return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
+                        sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
+                        sel(nwx * sf, bnx), sel(nwy * sf, bny),
+                        sel(nwz * sf, bnz), sel(midx, bmat),
+                        sel(sel_ab(ha[0], hb[0]), carry[10]),
+                        sel(sel_ab(ha[1], hb[1]), carry[11]),
+                        sel(sel_ab(ha[2], hb[2]), carry[12]))
 
             return body
 
         # ---- intersect: nearest hit / shadow any-hit over all groups --
         def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
-                      osrf, oside, thru, shadow, wmask):
+                      osrf, oside, thru, olx, oly, olz, shadow, wmask):
             rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-                    wmask)
+                    olx, oly, olz, wmask)
             if shadow:
                 carry = jnp.zeros(ox.shape, I32)
             else:
                 z = jnp.zeros(ox.shape, F32)
                 zi = jnp.zeros(ox.shape, I32)
                 carry = (jnp.full(ox.shape, BIG, F32), zi + 0x7FFFFFF,
-                         zi + 1, z, z, z, z, z, z, zi)
-                if any_tex:
-                    carry = carry + (z, z)
+                         zi + 1, z, z, z, z, z, z, zi, z, z, z)
             for grp in struct.groups:
                 n = grp.n_block if shadow else grp.count
                 if n == 0:
@@ -753,15 +755,16 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
 
         def shade_and_continue(st):
             (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b, depth,
-             osrf, oside, thru_i, active_i, acc_r, acc_g, acc_b, sp,
-             stk, it) = st
+             osrf, oside, thru_i, olx, oly, olz, active_i,
+             acc_r, acc_g, acc_b, sp, stk, it) = st
             thru = thru_i != 0
             active = active_i != 0
 
             hitres = intersect(
                 ox, oy, oz, dx, dy, dz, tmn, big_t, osrf, oside, thru,
-                False, active)
-            (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat) = hitres[:10]
+                olx, oly, olz, False, active)
+            (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat,
+             hlx, hly, hlz) = hitres
             hit = (bt < BIG) & active
             # normalize normal
             nn = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
@@ -771,7 +774,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             (mc_r, mc_g, mc_b, m_dff, m_spc, m_pow, m_rfl, m_trn, m_rfr,
              m_ext) = mat_params(bmat)
             if any_tex:
-                mc_r, mc_g, mc_b = tex_fetch(bmat, hitres[10], hitres[11],
+                mc_r, mc_g, mc_b = tex_fetch(bmat, hlx, hly,
                                              mc_r, mc_g, mc_b)
             if any_gamma:
                 # gamma decode x^2 (PAINT_COLX, tracer.cpp:664-673)
@@ -795,7 +798,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 r_dot = lvx * nx + lvy * ny + lvz * nz
                 lit = (r_dot > 0.0) & hit
                 occ = intersect(hx, hy, hz, lvx, lvy, lvz, z, one_t,
-                                bsrf, bside, zb, True, lit)
+                                bsrf, bside, zb, hlx, hly, hlz, True, lit)
                 hm = lit & ~(occ != 0)
                 r2 = lvx * lvx + lvy * lvy + lvz * lvz
                 r = jnp.sqrt(jnp.maximum(r2, 1e-30))
@@ -886,8 +889,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             if not any_cont:
                 # no material reflects or transmits: single segment
                 return (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
-                        depth, osrf, oside, thru_i, zi, acc_r, acc_g,
-                        acc_b, sp, stk, it + 1)
+                        depth, osrf, oside, thru_i, olx, oly, olz, zi,
+                        acc_r, acc_g, acc_b, sp, stk, it + 1)
 
             # continuations
             deep_ok = depth < cfg.depth
@@ -931,15 +934,18 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 thru2 = (cont & ~use_rfl).astype(I32)
                 tmn2 = jnp.where(cont, 0.0, tmn)
                 act2 = (active & cont).astype(I32)
+                ol2x = w2(cont, hlx, olx)
+                ol2y = w2(cont, hly, oly)
+                ol2z = w2(cont, hlz, olz)
                 return (ox2, oy2, oz2, dx2, dy2, dz2, tmn2, tr2, tg2,
-                        tb2, dep2, osrf2, osd2, thru2, act2, acc_r,
-                        acc_g, acc_b, sp, stk, it + 1)
+                        tb2, dep2, osrf2, osd2, thru2, ol2x, ol2y, ol2z,
+                        act2, acc_r, acc_g, acc_b, sp, stk, it + 1)
 
             push = go_rfl & go_trn & (sp < D)
             new_stk = []
             vals = (hx, hy, hz, rfx, rfy, rfz, trn_r, trn_g, trn_b,
                     (depth + 1).astype(F32), bsrf.astype(F32),
-                    bside.astype(F32))
+                    bside.astype(F32), hlx, hly, hlz)
             for kk in range(D):
                 at_k = push & (sp == kk)
                 slot = stk[kk]
@@ -950,13 +956,13 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             can_pop = active & ~cont & (sp2 > 0)
             psp = jnp.maximum(sp2 - 1, 0)
             pops = []
-            for f in range(12):
+            for f in range(15):
                 acc0 = jnp.zeros(shape, F32)
                 for kk in range(D):
                     acc0 = jnp.where(psp == kk, new_stk[kk][f], acc0)
                 pops.append(acc0)
             (p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_tr, p_tg, p_tb,
-             p_dep, p_srf, p_side) = pops
+             p_dep, p_srf, p_side, p_olx, p_oly, p_olz) = pops
 
             ox2 = w2(cont, n_ox, w2(can_pop, p_ox, ox))
             oy2 = w2(cont, n_oy, w2(can_pop, p_oy, oy))
@@ -975,26 +981,30 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             tmn2 = jnp.where(cont | can_pop, 0.0, tmn)
             act2 = (active & (cont | can_pop)).astype(I32)
             sp3 = jnp.where(can_pop, psp, sp2)
+            ol2x = w2(cont, hlx, w2(can_pop, p_olx, olx))
+            ol2y = w2(cont, hly, w2(can_pop, p_oly, oly))
+            ol2z = w2(cont, hlz, w2(can_pop, p_olz, olz))
 
             return (ox2, oy2, oz2, dx2, dy2, dz2, tmn2, tr2, tg2, tb2,
-                    dep2, osrf2, osd2, thru2, act2, acc_r, acc_g, acc_b,
-                    sp3, tuple(new_stk), it + 1)
+                    dep2, osrf2, osd2, thru2, ol2x, ol2y, ol2z, act2,
+                    acc_r, acc_g, acc_b, sp3, tuple(new_stk), it + 1)
 
         # stack only materializes when both branches can fire at once
         ND = D if (any_cont and struct.can_push) else 1
-        stk0 = tuple(tuple(z for _ in range(12)) for _ in range(ND))
+        stk0 = tuple(tuple(z for _ in range(15)) for _ in range(ND))
         st0 = (ox, oy, oz, dx, dy, dz, tmn,
                z + 1.0, z + 1.0, z + 1.0, zi, zi - 1, zi + 1, zi,
+               z, z, z,
                zi + 1, z, z, z, zi, stk0,
                jnp.zeros((), I32))
 
         def cond(st):
-            return jnp.any(st[14] != 0) & (st[20] < cfg.max_segments)
+            return jnp.any(st[17] != 0) & (st[23] < cfg.max_segments)
 
         out = jax.lax.while_loop(cond, shade_and_continue, st0)
-        cr_r[:] = out[15]
-        cg_r[:] = out[16]
-        cb_r[:] = out[17]
+        cr_r[:] = out[18]
+        cg_r[:] = out[19]
+        cb_r[:] = out[20]
 
     return kernel
 

@@ -102,11 +102,17 @@ def _safe_div(num, den, fallback=BIG):
 
 def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
               origin_srf, origin_side, pass_thru,
-              shadow: bool = False):
+              shadow: bool = False, origin_loc=None):
     """Nearest valid hit over all surfaces.
 
     org/dirs (N,3); t_min/t_max (N,); origin_srf (N,) i32 (-1 none);
     origin_side (N,) i32 (+1 outer/-1 inner); pass_thru (N,) bool.
+    origin_loc (N,3) optional: the LOCAL (canonical-frame, apex-adjusted)
+    hit point on the originating surface; when given, the re-test of that
+    surface uses it as the local ray origin instead of re-transforming
+    the world origin (the reference's secondary-ray local-diff reuse,
+    tracer.cpp:1350-1373 + 2269-2284 — fp-exact self-reintersection, which
+    decides root selection on TIR/grazing continuations).
 
     Returns dict with t (N,), srf (N,) i32 (-1 miss), side (N,) i32,
     x (N,3) world hit, p (N,3) local hit, n (N,3) unit shading normal
@@ -121,6 +127,10 @@ def intersect(sc: SceneArrays, org, dirs, t_min, t_max,
     o_l = _apply3(inv_b, rel[..., 0], rel[..., 1], rel[..., 2])
     d_l = _apply3(inv_b, dirs[:, None, 0], dirs[:, None, 1],
                   dirs[:, None, 2])
+    if origin_loc is not None:
+        own = (jnp.arange(NS, dtype=I32)[None, :]
+               == origin_srf[:, None])               # (N, NS)
+        o_l = jnp.where(own[..., None], origin_loc[:, None, :], o_l)
 
     sci = sc.s_sci[None, :, :]
     scjh = sc.s_scjh[None, :, :]
@@ -380,7 +390,8 @@ def shade(sc: SceneArrays, cfg: TraceConfig, x, p, n, ray_d, srf, side, hit):
         lit = (r_dot > 0.0) & (sc.l_on[li] > 0) & hit
         # shadow any-hit along hit -> light, t in (0, 1) (lgt_T_MAX = 1)
         occ = intersect(sc, x, lvec, zero_t, jnp.ones_like(zero_t),
-                        srf, side, jnp.zeros_like(lit), shadow=True)
+                        srf, side, jnp.zeros_like(lit), shadow=True,
+                        origin_loc=p)
         hm = lit & ~occ
         r2 = jnp.sum(lvec * lvec, -1)
         r = jnp.sqrt(jnp.maximum(r2, 1e-30))
@@ -467,6 +478,7 @@ def trace_rays(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
         depth=jnp.zeros((N,), I32),
         osrf=jnp.full((N,), -1, I32), oside=jnp.ones((N,), I32),
         thru=jnp.zeros((N,), jnp.bool_),
+        oloc=jnp.zeros((N, 3), F32),
         tmin=t_min.astype(F32),
         active=jnp.ones((N,), jnp.bool_),
         acc=jnp.zeros((N, 3), F32),
@@ -474,6 +486,7 @@ def trace_rays(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
         st_org=jnp.zeros((N, D, 3), F32), st_dir=jnp.zeros((N, D, 3), F32),
         st_thr=jnp.zeros((N, D, 3), F32), st_depth=jnp.zeros((N, D), I32),
         st_srf=jnp.zeros((N, D), I32), st_side=jnp.zeros((N, D), I32),
+        st_oloc=jnp.zeros((N, D, 3), F32),
         it=jnp.zeros((), I32),
     )
 
@@ -493,7 +506,7 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
         act = st["active"]
         h = intersect(sc, st["org"], st["dir"], st["tmin"],
                       jnp.full((N,), BIG), st["osrf"], st["oside"],
-                      st["thru"])
+                      st["thru"], origin_loc=st["oloc"])
         hit = h["hit"] & act
         local = shade(sc, cfg, h["x"], h["p"], h["n"], st["dir"],
                       h["srf"], h["side"], hit)
@@ -526,6 +539,7 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
         st_depth = put(st["st_depth"], st["depth"] + 1)
         st_srf = put(st["st_srf"], h["srf"])
         st_side = put(st["st_side"], h["side"])
+        st_oloc = put(st["st_oloc"], h["p"])
         sp = st["sp"] + push.astype(I32)
 
         # continue with reflection if live, else refraction, else pop
@@ -547,6 +561,7 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
             1)[:, 0]
         p_org, p_dir, p_thr = grab(st_org), grab(st_dir), grab(st_thr)
         p_depth, p_srf, p_side = grab(st_depth), grab(st_srf), grab(st_side)
+        p_oloc = grab(st_oloc)
 
         sel3 = lambda c, a_, b_: jnp.where(c[:, None], a_, b_)
         new = dict(
@@ -562,6 +577,8 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
                                                    st["osrf"])),
             oside=jnp.where(cont, n_oside, jnp.where(can_pop, p_side,
                                                      st["oside"])),
+            oloc=sel3(cont, h["p"], jnp.where(can_pop[:, None], p_oloc,
+                                              st["oloc"])),
             thru=jnp.where(cont, n_thru, can_pop),  # popped = refraction
             tmin=jnp.where(cont | can_pop, 0.0, st["tmin"]),
             active=act & (cont | can_pop),
@@ -569,6 +586,7 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
             sp=jnp.where(can_pop, psp, sp),
             st_org=st_org, st_dir=st_dir, st_thr=st_thr,
             st_depth=st_depth, st_srf=st_srf, st_side=st_side,
+            st_oloc=st_oloc,
             it=st["it"] + 1,
         )
         return new
@@ -591,6 +609,7 @@ def trace_rays_diff(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
         depth=jnp.zeros((N,), I32),
         osrf=jnp.full((N,), -1, I32), oside=jnp.ones((N,), I32),
         thru=jnp.zeros((N,), jnp.bool_),
+        oloc=jnp.zeros((N, 3), F32),
         tmin=t_min.astype(F32),
         active=jnp.ones((N,), jnp.bool_),
         acc=jnp.zeros((N, 3), F32),
@@ -598,6 +617,7 @@ def trace_rays_diff(sc: SceneArrays, org, dirs, t_min, cfg: TraceConfig):
         st_org=jnp.zeros((N, D, 3), F32), st_dir=jnp.zeros((N, D, 3), F32),
         st_thr=jnp.zeros((N, D, 3), F32), st_depth=jnp.zeros((N, D), I32),
         st_srf=jnp.zeros((N, D), I32), st_side=jnp.zeros((N, D), I32),
+        st_oloc=jnp.zeros((N, D, 3), F32),
         it=jnp.zeros((), I32),
     )
     body = _make_body(sc, cfg, N, D)

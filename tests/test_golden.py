@@ -29,15 +29,16 @@ CASES = [
     ("test08", "ref_test08.bmp", 0),
     ("test09", "ref_test09.bmp", 0),
     ("test10", "ref_test10.bmp", 0),
-    ("test11", "ref_test11.bmp", 10),
+    ("test11", "ref_test11.bmp", 8),     # actual 6
     ("test12", "ref_test12.bmp", 0),
-    ("test13", "ref_test13.bmp", 1700),  # TIR-path edge semantics, see
-    # KNOWN_ISSUES.md: glass-slab near-critical total-inner-reflection
-    ("test14", "ref_test14.bmp", 5),
+    ("test13", "ref_test13.bmp", 1650),  # actual 1641: fp frame-convention
+    # flips on glass-slab TIR paths, see KNOWN_ISSUES.md
+    ("test14", "ref_test14.bmp", 3),     # actual 2
     ("test15", "ref_test15.bmp", 0),
-    ("test16", "ref_test16.bmp", 50),
+    ("test16", "ref_test16.bmp", 45),    # actual 38 CPU / 42 TPU: clip
+    # boundary flips under scaler arrays, see KNOWN_ISSUES.md
     ("test17", "ref_test17.bmp", 0),
-    ("test18", "ref_test18.bmp", 300),  # Whitted-mode Cornell box
+    ("test18", "ref_test18.bmp", 280),   # actual 274, Whitted-mode Cornell
 ]
 
 

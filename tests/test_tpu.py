@@ -21,15 +21,16 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
 
 ALL_SCENES = ["test01", "test02", "test03", "test04", "test05", "test06",
               "test07", "test08", "test09", "test10", "test11", "test12",
-              "test13", "test14", "test15", "test16", "test17"]
-FAST_SCENES = ["test01", "test09"]
+              "test13", "test14", "test15", "test16", "test17", "test18"]
+FAST_SCENES = ["test01", "test09", "test05"]
 
 SCENES = (FAST_SCENES if os.environ.get("QUADRAY_TPU_FAST") == "1"
           else ALL_SCENES)
 
-# hardware golden budgets for the PALLAS path; None = jnp-fallback scenes
-# (textured) are checked through the jnp path on TPU instead
-BUDGET = {"test11": 10, "test13": 1700, "test14": 5, "test16": 50}
+# hardware golden budgets for the PALLAS path, set to measured actuals
+# (no slack; see KNOWN_ISSUES.md for the frame-convention analysis)
+BUDGET = {"test11": 8, "test13": 1650, "test14": 3, "test16": 45,
+          "test18": 280}
 
 
 def _render_pallas(name, use_kernel=True):
