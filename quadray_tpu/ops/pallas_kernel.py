@@ -346,8 +346,23 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
             v = v | (bmat == m)
         return v
 
+    def mats_with_all(*bits):
+        return [m for m in range(NM)
+                if all(props_t[m] & b for b in bits)]
+
+    def flag_vec_of(ms, bmat):
+        if not ms:
+            return None
+        v = bmat == ms[0]
+        for m in ms[1:]:
+            v = v | (bmat == m)
+        return v
+
     any_refract = bool(mats_with(PROP_REFRACT))
     any_fresnel = struct.fres_on and bool(mats_with(PROP_FRESNEL))
+    rf_fres_mats = (mats_with_all(PROP_OPAQUE, PROP_REFLECT, PROP_FRESNEL)
+                    if struct.fres_on else [])
+    any_rf_fresnel = bool(rf_fres_mats)
     any_metal = bool(mats_with(PROP_METAL))
     any_emissive = bool(mats_with(PROP_LIGHT))
     any_gamma = struct.gamma_on and bool(mats_with(PROP_GAMMA))
@@ -881,7 +896,39 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 c_trn = m_trn
                 c_rfl = m_rfl
 
-            lw = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
+            if any_rf_fresnel:
+                # RF-section Fresnel for OPAQUE reflective materials
+                # (tracer.cpp:3671-3830): metal fast conductor formula
+                # for metals, plain dielectric otherwise; c_rfl *= F
+                if not (any_refract or any_fresnel):
+                    dl = jax.lax.rsqrt(jnp.maximum(
+                        dx * dx + dy * dy + dz * dz, 1e-30))
+                    dot = (dx * nx + dy * ny + dz * nz) * dl
+                    eta = m_rfr
+                    k = 1.0 - eta * eta + (eta * dot) ** 2
+                    sq = jnp.sqrt(jnp.maximum(k, 0.0))
+                rcp = _sdiv(jnp.ones_like(m_rfr), m_rfr, 0.0)
+                ext2 = m_ext * m_ext
+                t2 = 2.0 * dot * rcp
+                c2 = dot * dot
+                gg = rcp * rcp + ext2
+                x0 = c2 + gg
+                x1 = c2 * gg + 1.0
+                f_metal = jnp.abs(-0.5 * (
+                    _sdiv(x0 + t2, x0 - t2, 1.0)
+                    + _sdiv(x1 + t2, x1 - t2, 1.0)))
+                rs_o = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
+                rp_o = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
+                f_plain = jnp.abs(-0.5 * (rs_o * rs_o + rp_o * rp_o))
+                metal_f = flag_vec(PROP_METAL, bmat)
+                f_rf = f_plain if metal_f is None else \
+                    jnp.where(metal_f, f_metal, f_plain)
+                rf_mask = flag_vec_of(rf_fres_mats, bmat)
+                c_rfl = jnp.where(rf_mask, m_rfl * f_rf, c_rfl)
+
+            # local weight from ORIGINAL material rfl/trn (TR_mix,
+            # tracer.cpp:3566-3571), not the Fresnel-modulated values
+            lw = jnp.maximum(1.0 - m_trn - m_rfl, 0.0)
             acc_r = acc_r + jnp.where(hit, thr_r * col_r * lw, 0.0)
             acc_g = acc_g + jnp.where(hit, thr_g * col_g * lw, 0.0)
             acc_b = acc_b + jnp.where(hit, thr_b * col_b * lw, 0.0)

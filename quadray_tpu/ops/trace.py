@@ -26,7 +26,9 @@ reference's render0 megakernel (tracer.cpp:1081-5405). Key transfers:
   * lights: ambient/diffuse/specular with 1/sqrt(cnt + lnr r + qdr r^2)
     attenuation and metal/plain blending (tracer.cpp:2709-3180).
   * Fresnel: exact dielectric reflectance + TIR transfer trn->rfl
-    (tracer.cpp:3280-3424); Schlick available as an option.
+    (tracer.cpp:3280-3424); Schlick via TraceConfig(schlick=True)
+    (tracer.cpp:3355-3381); metal fast/slow conductor reflectance and the
+    plain-opaque reflectivity Fresnel (tracer.cpp:3671-3830).
 
 The Pallas megakernel (ops/pallas_kernel.py) implements the same math with
 explicit VMEM tiling; this module is the "reference target" the kernels are
@@ -82,6 +84,8 @@ class TraceConfig(NamedTuple):
     stack: int = 10          # branch-stack capacity per lane
     cutoff: float = 1.0 / 1024.0  # throughput cutoff for continuations
     d_eps: float = 0.0       # determinant epsilon (srf_D_EPS analog)
+    schlick: bool = False    # RT_FEAT_SCHLICK: Schlick instead of exact
+    # dielectric Fresnel on the transparency path
 
 
 # ---------------------------------------------------------------------------
@@ -418,11 +422,57 @@ def shade(sc: SceneArrays, cfg: TraceConfig, x, p, n, ray_d, srf, side, hit):
     return jnp.where(emissive[:, None], tex, col)
 
 
-def fresnel_terms(sc: SceneArrays, midx, d, n):
+def fresnel_metal_fast(dot, rcp, ext2):
+    """Approximate conductor reflectance (FRESNEL_METAL fast, the default
+    build variant; tracer.cpp:3730-3752). dot = cos(incidence) with sign
+    (negative: shading normal faces the ray); rcp = 1/rfr (mat_C_RCP);
+    ext2 = ext^2 (mat_EXT_2)."""
+    t = 2.0 * dot * rcp
+    c2 = dot * dot
+    g = rcp * rcp + ext2
+    x0 = c2 + g
+    x1 = c2 * g + 1.0
+    rs = _safe_div(x0 + t, x0 - t, 1.0)
+    rp = _safe_div(x1 + t, x1 - t, 1.0)
+    return jnp.abs(-0.5 * (rs + rp))
+
+
+def fresnel_metal_slow(dot, rcp, ext2):
+    """Exact conductor reflectance via the a^2/b^2 formulation
+    (FRESNEL_METAL_SLOW, tracer.cpp:3682-3726)."""
+    c2 = dot * dot
+    sin2 = 1.0 - c2
+    n2 = rcp * rcp
+    t0 = n2 - ext2 - sin2
+    u = jnp.sqrt(t0 * t0 + 4.0 * n2 * ext2)
+    a2 = jnp.abs(0.5 * (t0 + u))
+    twoac = 2.0 * jnp.sqrt(a2) * dot               # negative
+    rs = _safe_div(c2 + u + twoac, c2 + u - twoac, 1.0)
+    rp_f = _safe_div(c2 * u + sin2 * sin2 + twoac * sin2,
+                     c2 * u + sin2 * sin2 - twoac * sin2, 1.0)
+    return jnp.abs(-0.5 * (rs + rs * rp_f))
+
+
+def fresnel_schlick(dot, eta, sq):
+    """Schlick approximation (RT_FEAT_SCHLICK, tracer.cpp:3355-3381):
+    R0 + (1-R0)(1-cos)^5, with the exit-side cosine (the refraction
+    sqrt) when eta > 1."""
+    x = jnp.where(eta > 1.0, 1.0 - sq, 1.0 + dot)
+    r = _safe_div(eta - 1.0, eta + 1.0, 1.0)
+    r0 = r * r
+    x5 = (x * x) * (x * x) * x
+    return r0 + (1.0 - r0) * x5
+
+
+def fresnel_terms(sc: SceneArrays, midx, d, n,
+                  schlick: bool = False):
     """Effective reflect/refract weights + refraction direction
     (TR section, tracer.cpp:3182-3424): Snell with ratio eta = m_rfr, TIR
-    folds transparency into reflectivity, exact dielectric Fresnel moves
-    trn*F into rfl when enabled."""
+    folds transparency into reflectivity, exact dielectric (or Schlick)
+    Fresnel moves trn*F into rfl when enabled; plus the RF-section
+    reflectivity Fresnel for OPAQUE reflective materials
+    (tracer.cpp:3671-3830): metal fast formula for metals, the plain
+    dielectric formula otherwise, scaling c_rfl by F."""
     props = sc.m_props[midx]
     eta = sc.m_rfr[midx]
     trn = sc.m_trn[midx]
@@ -440,18 +490,36 @@ def fresnel_terms(sc: SceneArrays, midx, d, n):
                          - n * (eta * dot + sq)[:, None],
                          rhat)
 
-    fres_on = ((props & PROP_FRESNEL) != 0) & (sc.use_fresnel > 0) & \
-        ((props & PROP_OPAQUE) == 0)
-    # exact dielectric reflectance (tracer.cpp:3383-3401)
-    rs = _safe_div(eta * dot + sq, eta * dot - sq, 1.0)
-    rp = _safe_div(dot + eta * sq, dot - eta * sq, 1.0)
-    F = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+    fres_prop = ((props & PROP_FRESNEL) != 0) & (sc.use_fresnel > 0)
+    fres_on = fres_prop & ((props & PROP_OPAQUE) == 0)
+    if schlick:
+        F = fresnel_schlick(dot, eta, sq)
+    else:
+        # exact dielectric reflectance (tracer.cpp:3383-3401)
+        rs = _safe_div(eta * dot + sq, eta * dot - sq, 1.0)
+        rp = _safe_div(dot + eta * sq, dot - eta * sq, 1.0)
+        F = 0.5 * (rs * rs + rp * rp)
+    F = jnp.clip(F, 0.0, 1.0)
     F = jnp.where(fres_on, F, 0.0)
     F = jnp.where(tir, 1.0, F)
 
     c_trn = trn * (1.0 - F)
     c_rfl = rfl + trn * F
     c_trn = jnp.where(tir, 0.0, c_trn)
+
+    # RF-section Fresnel: OPAQUE + REFLECT materials scale c_rfl by F
+    # (metal fast for metals — the default build has FRESNEL_METAL=1,
+    # FRESNEL_METAL_SLOW=0 — else the plain dielectric formula)
+    rf_on = fres_prop & ((props & PROP_OPAQUE) != 0) & \
+        ((props & PROP_REFLECT) != 0)
+    rcp = _safe_div(jnp.ones_like(eta), eta, 0.0)    # mat_C_RCP = 1/rfr
+    ext2 = sc.m_ext[midx] ** 2                       # mat_EXT_2
+    f_metal = fresnel_metal_fast(dot, rcp, ext2)
+    rs_o = _safe_div(eta * dot + sq, eta * dot - sq, 1.0)
+    rp_o = _safe_div(dot + eta * sq, dot - eta * sq, 1.0)
+    f_plain = jnp.abs(-0.5 * (rs_o * rs_o + rp_o * rp_o))
+    f_rf = jnp.where((props & PROP_METAL) != 0, f_metal, f_plain)
+    c_rfl = jnp.where(rf_on, rfl * f_rf, c_rfl)
     return c_rfl, c_trn, refr_dir, tir
 
 
@@ -511,8 +579,14 @@ def _make_body(sc: SceneArrays, cfg: TraceConfig, N: int, D: int):
         local = shade(sc, cfg, h["x"], h["p"], h["n"], st["dir"],
                       h["srf"], h["side"], hit)
         midx = material_index(sc, h["srf"], h["side"])
-        c_rfl, c_trn, refr_dir, _ = fresnel_terms(sc, midx, st["dir"], h["n"])
-        local_w = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
+        c_rfl, c_trn, refr_dir, _ = fresnel_terms(sc, midx, st["dir"],
+                                                  h["n"], cfg.schlick)
+        # local color weight uses the ORIGINAL material rfl/trn (TR_mix
+        # loads mat_C_TRN/mat_C_RFL, tracer.cpp:3566-3571), NOT the
+        # Fresnel-modulated values — they only scale sub-ray returns.
+        # Identical for the transparency path (the Fresnel transfer is
+        # energy-conserving) but not for metal reflectivity Fresnel.
+        local_w = jnp.maximum(1.0 - sc.m_trn[midx] - sc.m_rfl[midx], 0.0)
         acc = st["acc"] + jnp.where(hit[:, None],
                                     st["thr"] * local * local_w[:, None],
                                     0.0)

@@ -38,7 +38,7 @@ CASES = [
     ("test16", "ref_test16.bmp", 45),    # actual 38 CPU / 42 TPU: clip
     # boundary flips under scaler arrays, see KNOWN_ISSUES.md
     ("test17", "ref_test17.bmp", 0),
-    ("test18", "ref_test18.bmp", 280),   # actual 274, Whitted-mode Cornell
+    ("test18", "ref_test18.bmp", 0),     # exact since metal Fresnel
 ]
 
 

@@ -29,8 +29,7 @@ SCENES = (FAST_SCENES if os.environ.get("QUADRAY_TPU_FAST") == "1"
 
 # hardware golden budgets for the PALLAS path, set to measured actuals
 # (no slack; see KNOWN_ISSUES.md for the frame-convention analysis)
-BUDGET = {"test11": 8, "test13": 1650, "test14": 3, "test16": 45,
-          "test18": 280}
+BUDGET = {"test11": 8, "test13": 1650, "test14": 3, "test16": 45}
 
 
 def _render_pallas(name, use_kernel=True):
