@@ -130,7 +130,12 @@ def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
 
         pick_rfl = u_branch < c_rfl
         pick_trn = (~pick_rfl) & (u_branch < c_rfl + c_trn)
-        pick_dif = ~pick_rfl & ~pick_trn & (p_dif > 0.0)
+        # diffuse gather requires the DIFFUSE prop (CHECK_PROP(PT_mix,
+        # RT_PROP_DIFFUSE), tracer.cpp:2350) — rfl+trn >= 1 clears it
+        # (e.g. the metal mirror), Fresnel may still leave p_dif > 0
+        from quadray_tpu.scene.compile import PROP_DIFFUSE
+        pick_dif = (~pick_rfl & ~pick_trn & (p_dif > 0.0)
+                    & ((props & PROP_DIFFUSE) != 0))
 
         ddotn = jnp.sum(st["dir"] * h["n"], -1)
         refl_dir = st["dir"] - 2.0 * ddotn[:, None] * h["n"]

@@ -73,6 +73,35 @@ def test_pallas_vs_golden_on_tpu(name):
 
 
 @pytest.mark.tpu
+def test_pallas_default_config_on_tpu():
+    """The hardware tier otherwise validates at TraceConfig(stack=6);
+    one scene also runs at the DEFAULT TraceConfig() (stack=10, the
+    RT_STACK_DEPTH configuration) so the default-shape kernel stays
+    covered — test17 exercises the branch stack hardest."""
+    import jax.numpy as jnp
+    from quadray_tpu.utils.image import load_bmp, frame_cmp
+    from quadray_tpu.engine import Scene
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.ops.pallas_kernel import trace_rays_pallas
+    from quadray_tpu.ops.trace import TraceConfig, to_frame
+    from quadray_tpu.ops.rays import camera_rays
+
+    sc = Scene(load_scene("test17"), 800, 480)
+    arr = sc.arrays
+    org1, dirs = camera_rays(arr.cam_pos, arr.cam_hor, arr.cam_ver,
+                             arr.cam_nrm, arr.cam_pov, 800, 480, 1)
+    n = dirs.shape[0]
+    org = jnp.broadcast_to(org1[None, :], (n, 3))
+    tmin = jnp.full((n,), arr.cam_pov)
+    cols = trace_rays_pallas(arr, org, dirs, tmin, TraceConfig())
+    frame = to_frame(jnp.clip(cols, 0.0, 1.0).reshape(480, 800, 3),
+                     arr.use_gamma)
+    ref = load_bmp(os.path.join(GOLDEN, "ref_test17.bmp"))
+    nbad, _ = frame_cmp(ref, np.asarray(frame), t_diff=3)
+    assert nbad == 0, f"test17 @ default TraceConfig: {nbad} bad px"
+
+
+@pytest.mark.tpu
 def test_jnp_path_exact_on_tpu():
     """The jnp tracer itself must be hardware-exact (guards against
     low-precision-matmul regressions, e.g. default bf16 MXU passes)."""
