@@ -22,6 +22,90 @@ from quadray_tpu.scene.compile import compile_scene, SceneArrays
 from quadray_tpu.ops.trace import TraceConfig, render as _render, to_frame
 
 
+# camera action codes (RT_CAMERA_*, format.h / RooT key bindings)
+CAMERA_MOVE_UP = 1
+CAMERA_MOVE_DOWN = 2
+CAMERA_MOVE_LEFT = 3
+CAMERA_MOVE_RIGHT = 4
+CAMERA_MOVE_BACK = 5
+CAMERA_MOVE_FORWARD = 6
+CAMERA_ROTATE_LEFT = 7
+CAMERA_ROTATE_RIGHT = 8
+CAMERA_ROTATE_UP = 9
+CAMERA_ROTATE_DOWN = 10
+
+
+class CameraController:
+    """Interactive camera state (rt_Camera::update_action,
+    object.cpp:495-573): WASD-style moves scaled by the camera's dps
+    speeds in the heading frame (hor_sin/cos of the Z rotation), arrow
+    rotations scaled by drt with the reference's pitch clamps."""
+
+    def __init__(self, trm: S.Transform3D, cam: S.Camera):
+        self.pos = list(float(v) for v in trm.pos)
+        self.rot = list(float(v) for v in trm.rot)
+        self.scl = tuple(trm.scl)
+        self.dps = tuple(float(v) for v in cam.dps)
+        self.drt = tuple(float(v) for v in cam.drt)
+        self._last_time = 0.0
+
+    def update_action(self, time: float, action: int):
+        import math as _m
+        t = (time - self._last_time) / 50.0
+        hor_sin = _m.sin(_m.radians(self.rot[2]))
+        hor_cos = _m.cos(_m.radians(self.rot[2]))
+        dps, drt = self.dps, self.drt
+        if action == CAMERA_MOVE_UP:
+            self.pos[2] += dps[2] * t
+        elif action == CAMERA_MOVE_DOWN:
+            self.pos[2] -= dps[2] * t
+        elif action == CAMERA_MOVE_LEFT:
+            self.pos[0] -= dps[0] * t * hor_cos
+            self.pos[1] -= dps[0] * t * hor_sin
+        elif action == CAMERA_MOVE_RIGHT:
+            self.pos[0] += dps[0] * t * hor_cos
+            self.pos[1] += dps[0] * t * hor_sin
+        elif action == CAMERA_MOVE_BACK:
+            self.pos[0] += dps[1] * t * hor_sin
+            self.pos[1] -= dps[1] * t * hor_cos
+        elif action == CAMERA_MOVE_FORWARD:
+            self.pos[0] -= dps[1] * t * hor_sin
+            self.pos[1] += dps[1] * t * hor_cos
+        elif action == CAMERA_ROTATE_LEFT:
+            self.rot[2] += drt[0] * t
+            if self.rot[2] >= 180.0:
+                self.rot[2] -= 360.0
+        elif action == CAMERA_ROTATE_RIGHT:
+            self.rot[2] -= drt[0] * t
+            if self.rot[2] <= -180.0:
+                self.rot[2] += 360.0
+        elif action == CAMERA_ROTATE_UP:
+            if self.rot[0] < 0.0:
+                self.rot[0] = min(self.rot[0] + drt[1] * t, 0.0)
+        elif action == CAMERA_ROTATE_DOWN:
+            if self.rot[0] > -180.0:
+                self.rot[0] = max(self.rot[0] - drt[1] * t, -180.0)
+
+    def advance(self, time: float):
+        self._last_time = time
+
+    def trm(self) -> S.Transform3D:
+        return S.Transform3D(scl=self.scl, rot=tuple(self.rot),
+                             pos=tuple(self.pos))
+
+
+def _find_camera(arr: S.Array):
+    """First (trm, Camera) in hierarchy order (cam_index 0)."""
+    for ob in arr.objects:
+        if isinstance(ob.item, S.Camera):
+            return ob.trm, ob.item
+        if isinstance(ob.item, S.Array):
+            found = _find_camera(ob.item)
+            if found is not None:
+                return found
+    return None
+
+
 class Platform:
     """Owns global config (fsaa, depth) and the scene list
     (rt_Platform, engine.cpp:512-798)."""
@@ -57,7 +141,9 @@ class Scene:
         self.opts = S.OPTS_FULL & ~sdef.opts
         self._arrays: Optional[SceneArrays] = None
         self._update_jit = None
+        self._update_jit_cam = False
         self._struct = None
+        self.camera: Optional[CameraController] = None
         self._time = 0.0
         self.frame = np.zeros((height, width, 3), np.uint8)
         # progressive path-tracer state (pseed/ptr planes analog,
@@ -75,24 +161,64 @@ class Scene:
     # hierarchy walk (SURVEY §7.1 "scene compiler" row)
     def update(self, t: float = 0.0):
         self._time = t
+        cam_trm = self.camera.trm() if self.camera is not None else None
         if self._arrays is None:
             self._arrays = compile_scene(
                 S.SceneDef(root=self.sdef.root, opts=self.opts), time=t,
-                cam_index=self.cam_index)
+                cam_index=self.cam_index, cam_trm=cam_trm)
             self._struct = self._kernel_struct(self._arrays)
         else:
-            if self._update_jit is None:
+            interactive = self.camera is not None
+            if (self._update_jit is None
+                    or self._update_jit_cam != interactive):
                 from quadray_tpu.scene.compile import _compile_scene_impl
                 sdef = S.SceneDef(root=self.sdef.root, opts=self.opts)
                 shapes = dict(
                     ns=self._arrays.s_kind.shape[0],
                     nc=self._arrays.c_op.shape[1],
                     nl=self._arrays.l_on.shape[0])
-                self._update_jit = jax.jit(
-                    lambda tt: _compile_scene_impl(
-                        sdef, tt, self.cam_index, **shapes))
-            self._arrays = self._update_jit(jnp.float32(t))
+                if interactive:
+                    def _upd(tt, cam_pos, cam_rot, cam_scl):
+                        trm = S.Transform3D(
+                            scl=tuple(cam_scl), rot=tuple(cam_rot),
+                            pos=tuple(cam_pos))
+                        return _compile_scene_impl(
+                            sdef, tt, self.cam_index, cam_trm=trm,
+                            **shapes)
+                else:
+                    def _upd(tt):
+                        return _compile_scene_impl(
+                            sdef, tt, self.cam_index, **shapes)
+                self._update_jit = jax.jit(_upd)
+                self._update_jit_cam = interactive
+            if interactive:
+                self._arrays = self._update_jit(
+                    jnp.float32(t),
+                    jnp.asarray(cam_trm.pos, jnp.float32),
+                    jnp.asarray(cam_trm.rot, jnp.float32),
+                    jnp.asarray(cam_trm.scl, jnp.float32))
+            else:
+                self._arrays = self._update_jit(jnp.float32(t))
+        if self.camera is not None:
+            self.camera.advance(t)
         return self._arrays
+
+    def _base_cam_trm(self) -> S.Transform3D:
+        found = _find_camera(self.sdef.root)
+        if found is None:
+            raise ValueError("scene has no camera")
+        return found[0]
+
+    def update_action(self, t: float, action: int):
+        """Interactive camera action (rt_Scene::update + update_action,
+        engine.cpp:2968 + object.cpp:495-573)."""
+        if self.camera is None:
+            found = _find_camera(self.sdef.root)
+            if found is None:
+                raise ValueError("scene has no camera")
+            self.camera = CameraController(*found)
+            self.camera.advance(self._time)
+        self.camera.update_action(t, action)
 
     def _kernel_struct(self, sc: SceneArrays):
         """Static kernel structure, extracted once (it is time-invariant

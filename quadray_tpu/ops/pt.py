@@ -102,7 +102,10 @@ def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
     )
 
     def cond(st):
-        return jnp.any(st["active"]) & (st["it"] < cfg.depth)
+        # cfg.depth counts RECURSIONS like inf_DEPTH (decremented at each
+        # ENTER, stop at 0): the primary hit is free, so a depth-10 path
+        # sees 11 hits (tracer.cpp:2548-2560)
+        return jnp.any(st["active"]) & (st["it"] < cfg.depth + 1)
 
     def body(st):
         act = st["active"]
@@ -143,24 +146,24 @@ def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
 
         n_dir = jnp.where(pick_rfl[:, None], refl_dir,
                           jnp.where(pick_trn[:, None], refr_dir, diff_dir))
+        # Russian roulette on the DIFFUSE branch only, below split depth
+        # (PT_SPLIT_DEPTH, tracer.cpp:2352-2376): survive with
+        # probability q = max texture channel, survivors re-weighted by
+        # tex/q; specular/glass branches are never rouletted
+        deep = st["it"] >= (cfg.depth - 5)
+        q = jnp.clip(jnp.max(tex, -1), 1e-4, 1.0)
+        seed, u_rr = lcg_uniform(seed)
+        rr_kill = deep & pick_dif & (u_rr >= q)
         # diffuse bounce modulates by texture * l_dff
-        # (tracer.cpp:2546-2608); specular branches are already weighted by
-        # their pick probability (weight/prob = 1)
+        # (tracer.cpp:2546-2608, PT_ret mat_L_DFF * ctx_TEX)
         dif_mod = tex * sc.m_dff[midx][:, None]
+        dif_mod = jnp.where((deep & pick_dif)[:, None],
+                            dif_mod / q[:, None], dif_mod)
         n_thr = jnp.where(pick_dif[:, None], st["thr"] * dif_mod,
                           st["thr"])
         # emissive surfaces terminate the path (light sampled on hit)
         emissive = (props & PROP_LIGHT) != 0
         cont = hit & ~emissive & (pick_rfl | pick_trn | pick_dif)
-
-        # Russian roulette below split depth (PT_SPLIT_DEPTH analog,
-        # tracer.cpp:2352-2376): survive by max throughput channel
-        deep = st["it"] >= (cfg.depth - 5)
-        q = jnp.clip(jnp.max(n_thr, -1), 0.05, 1.0)
-        seed, u_rr = lcg_uniform(seed)
-        rr_kill = deep & (u_rr > q)
-        n_thr = jnp.where((deep & ~rr_kill)[:, None], n_thr / q[:, None],
-                          n_thr)
         cont &= ~rr_kill
 
         return dict(

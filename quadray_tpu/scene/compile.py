@@ -275,7 +275,8 @@ class _Slot:
         return out
 
 
-def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
+def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float,
+          cam_trm: "Optional[S.Transform3D]" = None):
     """Recursive hierarchy walk (analog of rt_Array ctor + update_object,
     object.cpp:1170-1800). Returns the slot tree for relation resolution."""
     slots: List[_Slot] = []
@@ -290,12 +291,16 @@ def _walk(col: _Collected, arr: S.Array, parent_mtx, time: float):
                 float(np.asarray(item.src)) + float(np.asarray(item.amb)))
     for ob in arr.objects:
         trm = ob.anim(time) if ob.anim is not None else ob.trm
+        item = ob.item
+        if cam_trm is not None and isinstance(item, S.Camera):
+            # interactive camera override (update_action semantics,
+            # object.cpp:495-573 mutate the camera object's trm)
+            trm = cam_trm
         mtx = jnp.matmul(parent_mtx, transform_matrix(trm),
                          precision=jax.lax.Precision.HIGHEST)
-        item = ob.item
         slot = _Slot()
         if isinstance(item, S.Array):
-            slot.children = _walk(col, item, mtx, time)
+            slot.children = _walk(col, item, mtx, time, cam_trm)
         elif isinstance(item, S.Surface):
             mo = ob.mat_outer if ob.mat_outer is not None else \
                 item.side_outer.material
@@ -423,7 +428,8 @@ def _pad_pow2(n: int, lo: int = 1) -> int:
 def compile_scene(scene: S.SceneDef, time: float = 0.0,
                   cam_index: int = 0,
                   ns: Optional[int] = None, nc: Optional[int] = None,
-                  nl: Optional[int] = None) -> SceneArrays:
+                  nl: Optional[int] = None,
+                  cam_trm: Optional[S.Transform3D] = None) -> SceneArrays:
     """Compile a SceneDef at a given time into SceneArrays.
 
     Scene compilation is host work (the analog of the reference's update
@@ -438,7 +444,7 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         from jax.core import Tracer
     except ImportError:  # pragma: no cover - jax layout drift
         from jax._src.core import Tracer
-    leaves = jax.tree_util.tree_leaves((scene, time))
+    leaves = jax.tree_util.tree_leaves((scene, time, cam_trm))
     tracing = any(isinstance(leaf, Tracer) for leaf in leaves)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -446,9 +452,11 @@ def compile_scene(scene: S.SceneDef, time: float = 0.0,
         cpu = None
     dev = jax.devices()[0]
     if tracing or cpu is None or dev.platform == "cpu":
-        return _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
+        return _compile_scene_impl(scene, time, cam_index, ns, nc, nl,
+                                   cam_trm)
     with jax.default_device(cpu):
-        sc = _compile_scene_impl(scene, time, cam_index, ns, nc, nl)
+        sc = _compile_scene_impl(scene, time, cam_index, ns, nc, nl,
+                                 cam_trm)
     sc_dev = jax.device_put(sc, dev)
     _register_host_mirror(sc_dev, sc)
     return sc_dev
@@ -488,13 +496,15 @@ def host_view(sc: SceneArrays) -> SceneArrays:
 def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
                         cam_index: int = 0,
                         ns: Optional[int] = None, nc: Optional[int] = None,
-                        nl: Optional[int] = None) -> SceneArrays:
+                        nl: Optional[int] = None,
+                        cam_trm: Optional[S.Transform3D] = None
+                        ) -> SceneArrays:
     """Static shapes: NS surfaces / NC clip entries / NL lights / NM
     materials are padded (pow2) so recompiles at different times hit the
     jit cache."""
     col = _Collected()
     eye = jnp.eye(4, dtype=F32)
-    _walk(col, scene.root, eye, time)
+    _walk(col, scene.root, eye, time, cam_trm)
 
     n_srf = len(col.surfaces)
     if n_srf == 0:

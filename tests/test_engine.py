@@ -46,3 +46,29 @@ def test_save_frame_roundtrip(tmp_path):
     sc.save_frame(p)
     back = load_bmp(p)
     assert np.array_equal(back, sc.frame)
+
+
+def test_camera_update_action():
+    """rt_Camera::update_action semantics (object.cpp:495-573): forward
+    motion moves along the heading, rotations clamp pitch, and frames
+    actually change."""
+    from quadray_tpu.engine import (
+        Scene, CAMERA_MOVE_FORWARD, CAMERA_ROTATE_LEFT, CAMERA_ROTATE_UP)
+    from quadray_tpu.models.scenes.loader import load_scene
+
+    sc = Scene(load_scene("test01"), W, H)
+    f0 = sc.render(0.0)
+    p0 = None
+    sc.update_action(100.0, CAMERA_MOVE_FORWARD)
+    p0 = list(sc.camera.pos)
+    f1 = sc.render(100.0)
+    assert not np.array_equal(f0, f1)
+    sc.update_action(200.0, CAMERA_ROTATE_LEFT)
+    f2 = sc.render(200.0)
+    assert not np.array_equal(f1, f2)
+    assert sc.camera.rot[2] != 0.0
+    # pitch clamp: ROTATE_UP cannot push rot[0] above 0
+    for t in range(3, 40):
+        sc.update_action(t * 100.0, CAMERA_ROTATE_UP)
+        sc.camera.advance(t * 100.0)
+    assert sc.camera.rot[0] <= 0.0

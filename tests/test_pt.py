@@ -1,0 +1,95 @@
+"""Path-tracer parity vs the reference's own PT output.
+
+golden/ref_test18_pt64.bmp is the reference C engine's path-traced
+Cornell box after 64 progressive samples/pixel (core_test -b 18 -e 18
+-o -q -i -f 64, rendered by the rebuilt reference oracle). Our PT uses
+the same LCG constants but its own seed-plane layout and a single-path
+estimator where the reference traces a split tree (both unbiased), so
+the comparison is STATISTICAL, not pixel-exact:
+
+  * global mean per channel within 4/255 — measured residual ~1.8/255
+    (~1.5%): the remaining gap between our single-path estimator with
+    proportional Fresnel splits and the reference's shallow-depth split
+    tree with its defensive 0.25+0.5*ratio split probability;
+  * 16x16-pixel block means within mean<6, p95<12, max<25 of the
+    reference at 64 spp (noise floor of two independent 64-spp runs is
+    block-sigma ~2.7).
+
+Depth semantics, diffuse-gather gating on PROP_DIFFUSE, and the
+albedo-based diffuse Russian roulette (tracer.cpp:2352-2376) are ported
+1:1 — see ops/pt.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "golden")
+
+
+@pytest.mark.tpu
+def test_pt_test18_statistical_parity():
+    from quadray_tpu.engine import Scene, Platform
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.utils.image import load_bmp
+
+    sc = Scene(load_scene("test18"), 800, 480,
+               pfm=Platform(use_pallas=False))
+    assert sc.set_pton(True)
+    frame = sc.render_pt_pass(passes=64).astype(np.float32)
+    ref = load_bmp(os.path.join(GOLDEN, "ref_test18_pt64.bmp")) \
+        .astype(np.float32)
+
+    mean_d = np.abs(frame.reshape(-1, 3).mean(0) - ref.reshape(-1, 3)
+                    .mean(0))
+    assert np.all(mean_d < 4.0), f"global mean diff {mean_d}"
+
+    B = 16
+    fb = frame.reshape(480 // B, B, 800 // B, B, 3).mean((1, 3))
+    rb = ref.reshape(480 // B, B, 800 // B, B, 3).mean((1, 3))
+    d = np.abs(fb - rb)
+    assert d.mean() < 6.0, f"block mean {d.mean()}"
+    assert np.percentile(d, 95) < 12.0, f"block p95 {np.percentile(d, 95)}"
+    assert d.max() < 25.0, f"block max {d.max()}"
+
+
+def test_pt_self_convergence_small():
+    """CPU tier: the progressive estimator converges. smallpt-style PT
+    (no next-event estimation, a small radiance-12 emitter) has huge
+    per-PIXEL variance at low spp, so convergence is measured the way it
+    manifests: 10x10-block means approach a 64-spp anchor from a
+    different seed as ~1/sqrt(spp) (measured: 0.057 @ 2spp ->
+    0.023 @ 16spp)."""
+    import jax.numpy as jnp
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    from quadray_tpu.ops.pt import trace_pt, pt_camera_rays, init_seeds
+    from quadray_tpu.ops.trace import TraceConfig
+
+    sd = load_scene("test18")
+    sc = compile_scene(S.SceneDef(root=sd.root,
+                                  opts=S.OPTS_FULL & ~sd.opts))
+    W, H = 100, 60
+    n = W * H
+    cfg = TraceConfig(depth=6)
+
+    def render(spp, seed):
+        seeds = init_seeds(n, seed)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for _ in range(spp):
+            org, dirs, seeds = pt_camera_rays(sc, W, H, seeds)
+            t_min = jnp.full((n,), float(sc.cam_pov), jnp.float32)
+            rad, seeds = trace_pt(sc, org, dirs, t_min, seeds, cfg)
+            acc = acc + rad
+        return np.asarray(acc).reshape(H, W, 3) / spp
+
+    def blocks(img):
+        return img.reshape(H // 10, 10, W // 10, 10, 3).mean((1, 3))
+
+    anchor = blocks(render(64, 7))
+    err_lo = np.median(np.abs(blocks(render(2, 1234)) - anchor))
+    err_hi = np.median(np.abs(blocks(render(16, 1234)) - anchor))
+    assert err_hi < err_lo * 0.7, (err_lo, err_hi)
+    assert np.isfinite(anchor).all() and anchor.max() > 0
