@@ -43,6 +43,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 BASELINE = {  # golden/baseline_ref.json derived_primary_mrays_per_s * 1e6
     "test01": 87.9e6,
     "test03": 86.7e6,
+    "test05": 27.4e6,
+    "test13": 17.8e6,
+    "test14": 7.8e6,
+    "test17": 8.2e6,
+    "test18": 24.8e6,
 }
 WIDTH, HEIGHT, FSAA = 800, 480, 1
 K_SMALL, K_BIG = 8, 64
@@ -72,7 +77,8 @@ def bench_scene(name, cfg):
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
 
     @partial(jax.jit, static_argnames=("k",))
-    def make_tiles(cam, k):
+    def make_tiles(cam, k, salt):
+        cam = (cam[0] + salt * 0.0,) + cam[1:]
         tiles = camera_rays_tiled(*cam, WIDTH, HEIGHT, FSAA, pk.BLOCK)
         return tuple(jnp.concatenate([t] * k, 0) for t in tiles)
 
@@ -82,14 +88,36 @@ def bench_scene(name, cfg):
                                      interpret=False)
         return jnp.sum(cr) + jnp.sum(cg) + jnp.sum(cb)
 
+    # the axon runtime memoizes results on identical input buffer ids
+    # (measured: repeat with same buffers 0.1 ms, fresh buffers with the
+    # same VALUES ~400 ms real execution) — derive a fresh-but-equal
+    # t_min buffer per repetition so every timed call really executes
+    @jax.jit
+    def fresh(t, i):
+        return t + i * 0.0
+
     def timed(k):
-        tiles = jax.block_until_ready(make_tiles(cam, k))
+        salt = [0]
+
+        def tiles_fresh():
+            salt[0] += 1
+            return jax.block_until_ready(
+                make_tiles(cam, k, jnp.float32(salt[0])))
+
+        tiles = tiles_fresh()
         trace_batch(ps, *tiles).block_until_ready()  # warm
         best = float("inf")
-        for _ in range(REPS):
+        for rep in range(REPS):
+            t7 = fresh(tiles[6], jnp.float32(rep + 1))
+            t7.block_until_ready()
             t0 = time.perf_counter()
-            trace_batch(ps, *tiles).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
+            trace_batch(ps, *tiles[:6], t7).block_until_ready()
+            dt = time.perf_counter() - t0
+            if dt < 1e-3:
+                # memoization slipped through; retry with all-fresh args
+                tiles = tiles_fresh()
+                continue
+            best = min(best, dt)
         return best
 
     t0 = time.time()
@@ -98,6 +126,13 @@ def bench_scene(name, cfg):
           file=sys.stderr)
     t_big = timed(K_BIG)
     per_frame = (t_big - t_small) / (K_BIG - K_SMALL)
+    if not (0.0 < per_frame < t_big):
+        # marginal implausible (noise floor / memoized call slipped in):
+        # fall back to the conservative upper bound total/K
+        print(f"# {name}: marginal implausible "
+              f"({t_small * 1e3:.1f} / {t_big * 1e3:.1f} ms), using "
+              "t_big/K upper bound", file=sys.stderr)
+        per_frame = t_big / K_BIG
     rays = WIDTH * HEIGHT * FSAA / per_frame
     print(f"# {name}: {per_frame * 1e3:.3f} ms/frame marginal "
           f"(batches {t_small * 1e3:.1f} / {t_big * 1e3:.1f} ms), "
@@ -140,7 +175,8 @@ def main():
         return
 
     extra = {}
-    for name in ("test03", "test13", "test17", "demo03"):
+    for name in ("test03", "test05", "test13", "test14", "test17",
+                 "test18", "demo03"):
         try:
             rays, ms = bench_scene(name, cfg)
             extra[name] = {"rays_per_s": round(rays),

@@ -679,7 +679,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                 if n == 0:
                     continue
                 body = make_body(grp, shadow, rays)
-                if n <= 16:
+                if n <= cfg.unroll:
                     # unroll: constant surface indices make every sp_f/sp_i
                     # access a static SMEM offset Mosaic can hoist out of
                     # the segment while_loop (they are loop-invariant)

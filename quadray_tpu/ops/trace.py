@@ -86,6 +86,8 @@ class TraceConfig(NamedTuple):
     d_eps: float = 0.0       # determinant epsilon (srf_D_EPS analog)
     schlick: bool = False    # RT_FEAT_SCHLICK: Schlick instead of exact
     # dielectric Fresnel on the transparency path
+    unroll: int = 16         # kernel surface groups up to this size are
+    # unrolled (static SMEM offsets, hoistable out of the segment loop)
 
 
 # ---------------------------------------------------------------------------
