@@ -72,3 +72,25 @@ def test_camera_update_action():
         sc.update_action(t * 100.0, CAMERA_ROTATE_UP)
         sc.camera.advance(t * 100.0)
     assert sc.camera.rot[0] <= 0.0
+
+
+def test_debug_tools():
+    """RT_QUAD_DEBUG analogs: per-pixel path capture, per-ray solver
+    state, hit-id overlay (utils/debug.py)."""
+    import numpy as np
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    from quadray_tpu.utils.debug import (
+        debug_pixel, solver_state, overlay_hit_ids)
+
+    sd = load_scene("test01")
+    sc = compile_scene(S.SceneDef(root=sd.root,
+                                  opts=S.OPTS_FULL & ~sd.opts))
+    recs = debug_pixel(sc, 32, 20, 64, 40)
+    assert recs[0]["hit"] and recs[0]["srf"] >= 0
+    assert recs[-1]["segment"] == "final"
+    rows = solver_state(sc, (0.0, -10.0, 1.0), (0.0, 1.0, 0.0))
+    assert rows and all(np.isfinite(r["disc"]) for r in rows)
+    img = overlay_hit_ids(sc, 64, 40)
+    assert img.shape == (40, 64, 3) and img.max() > 0
