@@ -326,7 +326,13 @@ def _root(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), BIG), ok
 
 
-def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
+def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
+                 emit_state: bool = False, resume: bool = False):
+    """emit_state: besides colors, write the 18-tile resumable ray state
+    (two-round compacted tracing); resume: initialize the ray state from
+    extra input tiles instead of fresh primary rays. Both require
+    can_push=False (the branch stack cannot spill)."""
+    assert not ((emit_state or resume) and struct.can_push)
     D = cfg.stack
     NC = struct.nc
     NM = struct.nm
@@ -370,10 +376,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
     any_tex = bool(struct.tex)
     NH = 12 if any_tex else 10   # nearest-hit carry width (+local hit uv)
 
-    def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
-               ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
-               tex_r, lut_r,
-               cr_r, cg_r, cb_r):
+    def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc, *more):
+        if resume:
+            # 7th scalar-prefetch operand: the active-block list (used
+            # only by the index_maps; ignored here)
+            more = more[1:]
+        (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
+         tex_r, lut_r) = more[:9]
+        rest_refs = more[9:]
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -752,6 +762,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
                     jnp.where(texmask, t_b, mc_b))
 
         # ---- main loop -------------------------------------------------
+        if resume:
+            (thr_r_r, thg_r, thb_r, dep_r, osrf_r, osd_r, thru_r,
+             olx_r, oly_r, olz_r, act_r) = rest_refs[:11]
+            out_refs = rest_refs[11:]
+        else:
+            out_refs = rest_refs
         ox = ox_r[:]
         oy = oy_r[:]
         oz = oz_r[:]
@@ -1039,19 +1055,31 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig):
         # stack only materializes when both branches can fire at once
         ND = D if (any_cont and struct.can_push) else 1
         stk0 = tuple(tuple(z for _ in range(15)) for _ in range(ND))
-        st0 = (ox, oy, oz, dx, dy, dz, tmn,
-               z + 1.0, z + 1.0, z + 1.0, zi, zi - 1, zi + 1, zi,
-               z, z, z,
-               zi + 1, z, z, z, zi, stk0,
-               jnp.zeros((), I32))
+        if resume:
+            st0 = (ox, oy, oz, dx, dy, dz, tmn,
+                   thr_r_r[:], thg_r[:], thb_r[:], dep_r[:], osrf_r[:],
+                   osd_r[:], thru_r[:],
+                   olx_r[:], oly_r[:], olz_r[:],
+                   act_r[:], z, z, z, zi, stk0,
+                   jnp.zeros((), I32))
+        else:
+            st0 = (ox, oy, oz, dx, dy, dz, tmn,
+                   z + 1.0, z + 1.0, z + 1.0, zi, zi - 1, zi + 1, zi,
+                   z, z, z,
+                   zi + 1, z, z, z, zi, stk0,
+                   jnp.zeros((), I32))
 
         def cond(st):
             return jnp.any(st[17] != 0) & (st[23] < cfg.max_segments)
 
         out = jax.lax.while_loop(cond, shade_and_continue, st0)
+        cr_r, cg_r, cb_r = out_refs[:3]
         cr_r[:] = out[18]
         cg_r[:] = out[19]
         cb_r[:] = out[20]
+        if emit_state:
+            for ref, val in zip(out_refs[3:], out[:18]):
+                ref[:] = val
 
     return kernel
 
@@ -1095,6 +1123,110 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
       ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
 
 
+_STATE_I32 = (3, 4, 5, 6, 10)   # depth, osrf, oside, thru, active slots
+# state tile order: thr r/g/b, depth, osrf, oside, thru, oloc x/y/z, active
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
+                      struct: KernelStruct, cfg: TraceConfig,
+                      interpret: bool):
+    """Round-1 dispatch: colors + the 18-tile resumable ray state."""
+    R = ox.shape[0]
+    grid = R // SUB
+    kern = _make_kernel(struct, cfg, emit_state=True)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    G = ps.tex_pk.shape[0]
+    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(grid,),
+        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
+        out_specs=[ray_spec] * 21,
+    )
+    f32s = jax.ShapeDtypeStruct((R, LANES), F32)
+    i32s = jax.ShapeDtypeStruct((R, LANES), I32)
+    # colors 3 + state 18: ox..tmn(7 f32), thr(3 f32), depth/osrf/oside/
+    # thru(4 i32), oloc(3 f32), active(1 i32)
+    out_shape = ([f32s] * 3 + [f32s] * 7 + [f32s] * 3 + [i32s] * 4
+                 + [f32s] * 3 + [i32s])
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
+      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
+                        struct: KernelStruct, cfg: TraceConfig,
+                        interpret: bool):
+    """Round-2 dispatch: resume IN PLACE over only the blocks that still
+    have active lanes — `blist` (scalar-prefetch) maps dynamic grid step
+    i to HBM block blist[i], so no ray data moves; retired blocks are
+    simply never visited."""
+    R = state[0].shape[0]
+    kern = _make_kernel(struct, cfg, resume=True)
+    ray_spec = pl.BlockSpec(
+        (SUB, LANES),
+        lambda i, sp_f, sp_i, cl_f, mat_f, lg_f, misc, blk: (blk[i], 0),
+        memory_space=pltpu.VMEM)
+    G = ps.tex_pk.shape[0]
+    tex_spec = pl.BlockSpec(
+        (G, LANES),
+        lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec(
+        (2, LANES),
+        lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
+    # input order must match kernel signature: 7 primary tiles, tex, lut,
+    # then the 11 resume tiles; blist rides as the 7th prefetch operand
+    ins = state[:7] + (ps.tex_pk, ps.tex_lut) + state[7:]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_blocks,),
+        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec] + [ray_spec] * 11,
+        out_specs=[ray_spec] * 3,
+    )
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, blist, *ins)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "k1", "interpret"))
+def _trace_rounds_impl(ps, ox, oy, oz, dx, dy, dz, tm,
+                       struct: KernelStruct, cfg: TraceConfig, k1: int,
+                       interpret: bool):
+    cfg1 = cfg._replace(max_segments=k1)
+    cfg2 = cfg._replace(max_segments=cfg.max_segments - k1)
+    outs = _trace_tiled_emit(ps, ox, oy, oz, dx, dy, dz, tm,
+                             struct=struct, cfg=cfg1, interpret=interpret)
+    cr1, cg1, cb1 = outs[:3]
+    state = outs[3:]
+    R = cr1.shape[0]
+    nb = R // SUB
+    # per-block any-active flags -> packed block list (deterministic:
+    # ascending block order)
+    blk_act = (state[17].reshape(nb, SUB * LANES).max(axis=1)) != 0
+    blist = jnp.nonzero(blk_act, size=nb, fill_value=0)[0].astype(I32)
+    n_blocks = jnp.maximum(jnp.sum(blk_act.astype(I32)), 1)
+    cr2, cg2, cb2 = _trace_tiled_resume(ps, state, blist, n_blocks,
+                                        struct=struct, cfg=cfg2,
+                                        interpret=interpret)
+    # rows of unvisited blocks hold garbage: mask them out
+    rowmask = jnp.repeat(blk_act, SUB)[:, None]   # (R, 1)
+
+    def merge(c1, c2):
+        return c1 + jnp.where(rowmask, c2, 0.0)
+
+    return merge(cr1, cr2), merge(cg1, cg2), merge(cb1, cb2)
+
+
 @partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
 def _prep_and_trace(ps: PackedScene, org, dirs, t_min,
                     struct: KernelStruct, cfg: TraceConfig,
@@ -1132,6 +1264,52 @@ def trace_rays_pallas(sc: SceneArrays, org, dirs, t_min,
     struct = _get_struct(sc)
     ps = _get_packed(sc, struct)
     return _prep_and_trace(ps, org, dirs, t_min, struct, cfg, interpret)
+
+
+def trace_rays_pallas_rounds(sc: SceneArrays, org, dirs, t_min,
+                             cfg: TraceConfig = TraceConfig(),
+                             k1: int = 4, interpret: bool = False):
+    """Two-round compacted tracing for deep single-branch scenes: round 1
+    runs the megakernel for k1 segments over all rays and emits the
+    resumable ray state; survivors (the deep tail) are compacted to the
+    front and round 2 finishes them with a DYNAMIC Pallas grid sized to
+    the survivor count — per-lane retirement at round granularity (the
+    measured 1.7-3.4x non-retirement waste on demo03/test13). Falls back
+    to the monolithic kernel for branch-stack (can_push) scenes."""
+    struct = _get_struct(sc)
+    if struct.can_push:
+        return trace_rays_pallas(sc, org, dirs, t_min, cfg, interpret)
+    N = dirs.shape[0]
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+    ps = _get_packed(sc, struct)
+    return _prep_and_trace_rounds(ps, org, dirs, t_min, struct, cfg, k1,
+                                  interpret)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "k1", "interpret"))
+def _prep_and_trace_rounds(ps: PackedScene, org, dirs, t_min,
+                           struct: KernelStruct, cfg: TraceConfig,
+                           k1: int, interpret: bool):
+    N = dirs.shape[0]
+    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    pad = npad - N
+    orgT = org.T
+    dirsT = dirs.T
+
+    def prep(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(npad // LANES, LANES)
+
+    tiles = ([prep(orgT[i]) for i in range(3)]
+             + [prep(dirsT[i], 1.0) for i in range(3)]
+             + [prep(t_min.astype(F32), BIG)])
+    cr, cg, cb = _trace_rounds_impl(ps, *tiles, struct=struct, cfg=cfg,
+                                    k1=k1, interpret=interpret)
+    cols = jnp.stack([cr.reshape(-1), cg.reshape(-1), cb.reshape(-1)],
+                     axis=-1)
+    return cols[:N]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "fsaa", "struct",

@@ -244,3 +244,31 @@ def test_kernel_vs_jnp_random_rays(scene, why):
     assert frac_bad < 0.002, (
         f"{scene} ({why}): {frac_bad:.4%} of lanes differ by >2e-3, "
         f"max {d.max():.3e}")
+
+
+@pytest.mark.tpu
+def test_two_round_retirement_matches_monolithic():
+    """The in-place block-retirement path (emit state -> active-block
+    list -> dynamic-grid resume) must reproduce the monolithic kernel
+    (measured exact on hardware for test14/demo03)."""
+    import jax.numpy as jnp
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    from quadray_tpu.ops.trace import TraceConfig
+    from quadray_tpu.ops.pallas_kernel import (
+        trace_rays_pallas, trace_rays_pallas_rounds)
+    from quadray_tpu.ops.rays import camera_rays
+
+    sd = load_scene("test14")
+    sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
+    org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                             sc.cam_nrm, sc.cam_pov, 400, 240, 1)
+    n = dirs.shape[0]
+    org = jnp.broadcast_to(org1[None, :], (n, 3))
+    t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+    cfg = TraceConfig(stack=6)
+    mono = np.asarray(trace_rays_pallas(sc, org, dirs, t_min, cfg))
+    rnds = np.asarray(trace_rays_pallas_rounds(sc, org, dirs, t_min, cfg,
+                                               k1=3))
+    assert np.abs(mono - rnds).max() < 1e-6
