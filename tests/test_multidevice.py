@@ -131,3 +131,46 @@ def test_distributed_init_noop():
     x = jnp.ones((4, 4, 3))
     out = assemble_frame(x)
     assert isinstance(out, np.ndarray) and out.shape == (4, 4, 3)
+
+
+def test_checkpoint_resume_training(sc, tmp_path):
+    """Checkpoint/resume (SURVEY §5.4): save mid-optimization, restore,
+    and continue to the same result as an uninterrupted run."""
+    _need8()
+    from quadray_tpu.parallel.train import make_train_step, extract_params
+    from quadray_tpu.parallel.checkpoint import (
+        save_checkpoint, load_checkpoint)
+    from quadray_tpu.ops.trace import trace_rays
+    from quadray_tpu.ops.rays import camera_rays
+
+    org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                             sc.cam_nrm, sc.cam_pov, W, H, 1)
+    n = dirs.shape[0]
+    org = jnp.broadcast_to(org1[None, :], (n, 3))
+    t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+    target = jnp.clip(trace_rays(sc, org, dirs, t_min, CFG), 0.0, 1.0)
+    sc_pert = sc.replace(m_col=jnp.clip(sc.m_col + 0.1, 0.0, 1.0))
+
+    step, opt_init = make_train_step(ray_mesh(jax.devices()[:2]), W, H,
+                                     cfg=CFG, lr=1e-2, fields=("m_col",))
+    params = extract_params(sc_pert, ("m_col",))
+    opt_state = opt_init(params)
+
+    # uninterrupted: 4 steps
+    p_ref, s_ref = params, opt_state
+    for _ in range(4):
+        p_ref, s_ref, _ = step(p_ref, s_ref, sc_pert, target)
+
+    # interrupted: 2 steps, checkpoint, restore, 2 more
+    p, s = params, opt_state
+    for _ in range(2):
+        p, s, _ = step(p, s, sc_pert, target)
+    path = save_checkpoint(str(tmp_path), 2, p, s)
+    step_no, p2, s2, _ = load_checkpoint(path, params, opt_state)
+    assert step_no == 2
+    for _ in range(2):
+        p2, s2, _ = step(p2, s2, sc_pert, target)
+
+    for k in p_ref:
+        np.testing.assert_array_equal(np.asarray(p_ref[k]),
+                                      np.asarray(p2[k]), err_msg=k)
