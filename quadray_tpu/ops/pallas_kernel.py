@@ -1161,18 +1161,20 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
       ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
 
 
-@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret", "sub"))
 def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
                         struct: KernelStruct, cfg: TraceConfig,
-                        interpret: bool):
+                        interpret: bool, sub: int = SUB):
     """Round-2 dispatch: resume IN PLACE over only the blocks that still
     have active lanes — `blist` (scalar-prefetch) maps dynamic grid step
     i to HBM block blist[i], so no ray data moves; retired blocks are
-    simply never visited."""
+    simply never visited. `sub` can be smaller than the emit round's
+    block height: the SAME buffers are just re-tiled into finer blocks,
+    giving 64/sub-times finer retirement granularity for the deep tail."""
     R = state[0].shape[0]
     kern = _make_kernel(struct, cfg, resume=True)
     ray_spec = pl.BlockSpec(
-        (SUB, LANES),
+        (sub, LANES),
         lambda i, sp_f, sp_i, cl_f, mat_f, lg_f, misc, blk: (blk[i], 0),
         memory_space=pltpu.VMEM)
     G = ps.tex_pk.shape[0]
@@ -1198,10 +1200,11 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
     )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, blist, *ins)
 
 
-@partial(jax.jit, static_argnames=("struct", "cfg", "k1", "interpret"))
+@partial(jax.jit, static_argnames=("struct", "cfg", "k1", "interpret",
+                                   "sub2"))
 def _trace_rounds_impl(ps, ox, oy, oz, dx, dy, dz, tm,
                        struct: KernelStruct, cfg: TraceConfig, k1: int,
-                       interpret: bool):
+                       interpret: bool, sub2: int = SUB):
     cfg1 = cfg._replace(max_segments=k1)
     cfg2 = cfg._replace(max_segments=cfg.max_segments - k1)
     outs = _trace_tiled_emit(ps, ox, oy, oz, dx, dy, dz, tm,
@@ -1209,17 +1212,17 @@ def _trace_rounds_impl(ps, ox, oy, oz, dx, dy, dz, tm,
     cr1, cg1, cb1 = outs[:3]
     state = outs[3:]
     R = cr1.shape[0]
-    nb = R // SUB
-    # per-block any-active flags -> packed block list (deterministic:
-    # ascending block order)
-    blk_act = (state[17].reshape(nb, SUB * LANES).max(axis=1)) != 0
+    nb = R // sub2
+    # per-(finer-)block any-active flags -> packed block list
+    # (deterministic: ascending block order)
+    blk_act = (state[17].reshape(nb, sub2 * LANES).max(axis=1)) != 0
     blist = jnp.nonzero(blk_act, size=nb, fill_value=0)[0].astype(I32)
     n_blocks = jnp.maximum(jnp.sum(blk_act.astype(I32)), 1)
     cr2, cg2, cb2 = _trace_tiled_resume(ps, state, blist, n_blocks,
                                         struct=struct, cfg=cfg2,
-                                        interpret=interpret)
+                                        interpret=interpret, sub=sub2)
     # rows of unvisited blocks hold garbage: mask them out
-    rowmask = jnp.repeat(blk_act, SUB)[:, None]   # (R, 1)
+    rowmask = jnp.repeat(blk_act, sub2)[:, None]   # (R, 1)
 
     def merge(c1, c2):
         return c1 + jnp.where(rowmask, c2, 0.0)
