@@ -48,6 +48,12 @@ BASELINE = {  # golden/baseline_ref.json derived_primary_mrays_per_s * 1e6
     "test14": 7.8e6,
     "test17": 8.2e6,
     "test18": 24.8e6,
+    # demo scenes measured by native/demo_bench (headless reference
+    # engine driver, same serial core_test configuration): demo01
+    # 10.567 / demo02 40.400 / demo03 46.533 ms per 800x480 frame
+    "demo01": 384000 / 10.567e-3,
+    "demo02": 384000 / 40.400e-3,
+    "demo03": 384000 / 46.533e-3,
 }
 WIDTH, HEIGHT, FSAA = 800, 480, 1
 K_SMALL, K_BIG = 8, 64
@@ -65,7 +71,7 @@ def bench_scene(name, cfg):
     from quadray_tpu.models.scenes.loader import load_scene
     from quadray_tpu.scene import schema as S
     from quadray_tpu.scene.compile import compile_scene
-    from quadray_tpu.ops.rays import camera_rays_tiled
+    from quadray_tpu.ops.rays import camera_rays_tiles2d
     import quadray_tpu.ops.pallas_kernel as pk
 
     sd = load_scene(name)
@@ -79,13 +85,15 @@ def bench_scene(name, cfg):
     @partial(jax.jit, static_argnames=("k",))
     def make_tiles(cam, k, salt):
         cam = (cam[0] + salt * 0.0,) + cam[1:]
-        tiles = camera_rays_tiled(*cam, WIDTH, HEIGHT, FSAA, pk.BLOCK)
+        # screen-tile ray order: the product layout (_render_impl)
+        tiles = camera_rays_tiles2d(*cam, WIDTH, HEIGHT, FSAA, pk.BLOCK)
         return tuple(jnp.concatenate([t] * k, 0) for t in tiles)
 
     @jax.jit
     def trace_batch(ps, *tiles):
-        cr, cg, cb = pk._trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
-                                     interpret=False)
+        # the PRODUCT trace path (trace_tiles): monolithic kernel or the
+        # two-round in-place retirement, per the use_rounds heuristic
+        cr, cg, cb = pk.trace_tiles(ps, tiles, struct, cfg)
         return jnp.sum(cr) + jnp.sum(cg) + jnp.sum(cb)
 
     # the axon runtime memoizes results on identical input buffer ids
@@ -176,7 +184,7 @@ def main():
 
     extra = {}
     for name in ("test03", "test05", "test13", "test14", "test17",
-                 "test18", "demo03"):
+                 "test18", "demo01", "demo02", "demo03"):
         try:
             rays, ms = bench_scene(name, cfg)
             extra[name] = {"rays_per_s": round(rays),

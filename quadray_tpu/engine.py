@@ -95,15 +95,18 @@ class CameraController:
 
 
 def _find_camera(arr: S.Array):
-    """First (trm, Camera) in hierarchy order (cam_index 0)."""
+    """LAST (trm, Camera) in hierarchy order — index 0 of the camera
+    registry, which prepends on construction (object.cpp:429-431); the
+    scene renders cam_head (engine.cpp:2923)."""
+    found = None
     for ob in arr.objects:
         if isinstance(ob.item, S.Camera):
-            return ob.trm, ob.item
+            found = (ob.trm, ob.item)
         if isinstance(ob.item, S.Array):
-            found = _find_camera(ob.item)
-            if found is not None:
-                return found
-    return None
+            sub = _find_camera(ob.item)
+            if sub is not None:
+                found = sub
+    return found
 
 
 class Platform:

@@ -76,8 +76,9 @@ SUB = 64          # sublanes per block -> block = SUB*128 rays
 LANES = 128
 BLOCK = SUB * LANES
 
-PF = 34           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
-#                   scjh 15-17, sciw 18, cmin 19-21, cmax 22-24, fwd 25-33
+PF = 38           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
+#                   scjh 15-17, sciw 18, cmin 19-21, cmax 22-24, fwd 25-33,
+#                   bounding sphere cx cy cz r2 34-37
 CF = 22           # per-clip-entry floats
 MF = 14           # per-material floats: col 0-2, dff/spc/pow 3-5,
 #                   rfl/trn/rfr/ext 6-9, tex scl 10-11, tex off 12-13
@@ -89,12 +90,14 @@ LF = 10           # per-light floats
 _TEX_LUT = (np.arange(256, dtype=np.float32) / 255.0).reshape(2, 128)
 
 # sp_i columns
-SI_KIND, SI_MO, SI_MI, SI_BLK, SI_SING, SI_NCL, SI_OID = range(7)
+(SI_KIND, SI_MO, SI_MI, SI_BLK, SI_SING, SI_NCL, SI_OID,
+ SI_BND) = range(8)
 
 
 class PackedScene(NamedTuple):
     sp_f: jnp.ndarray    # (NS, PF) f32, permuted by struct.perm
-    sp_i: jnp.ndarray    # (NS, 7) i32: kind, mo, mi, blk, sing, ncl, origid
+    sp_i: jnp.ndarray    # (NS, 8) i32: kind, mo, mi, blk, sing, ncl,
+    #                      origid, bounded
     cl_f: jnp.ndarray    # (NS, NC*CF) f32 pre-gathered clip tables
     mat_f: jnp.ndarray   # (NM, MF) f32
     lg_f: jnp.ndarray    # (NL, LF) f32
@@ -132,6 +135,8 @@ class KernelStruct(NamedTuple):
     tex: tuple              # per textured material: (mat_idx, base,
     # xmask, ymask, xshift) — static pow-2 addressing (tracer.cpp:2297)
     tex_rows: int           # texture table height G (128 texels per row)
+    bnd: tuple              # per PERMUTED row: 1 = finite world bounding
+    # sphere exists (culling layer; AR_ptr skip analog)
 
 
 def _mat_blocks(props: np.ndarray) -> np.ndarray:
@@ -221,7 +226,8 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
         any_cont=any_cont,
         can_push=can_push,
         tex=tex,
-        tex_rows=tex_rows)
+        tex_rows=tex_rows,
+        bnd=tuple(int(v) for v in np.asarray(sc.s_bnd)[perm_a]))
 
 
 class _SceneCache:
@@ -264,7 +270,7 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
         sc.s_pos, sc.s_inv.reshape(NS, 9), sc.s_sci, sc.s_scjh,
         sc.s_sciw[:, None],
         jnp.clip(sc.s_cmin, -BIG, BIG), jnp.clip(sc.s_cmax, -BIG, BIG),
-        sc.s_fwd.reshape(NS, 9),
+        sc.s_fwd.reshape(NS, 9), sc.s_bsph,
     ], axis=1).astype(F32)[perm]
     # static columns (blocker bits, clip counts, original ids) come from
     # the struct — they are already in permuted order
@@ -273,7 +279,7 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
         jnp.asarray(np.array(struct.blk, np.int32))[:, None],
         sc.s_sing[perm][:, None],
         jnp.asarray(np.array(struct.ncl, np.int32))[:, None],
-        perm[:, None]], axis=1).astype(I32)
+        perm[:, None], sc.s_bnd[perm][:, None]], axis=1).astype(I32)
     ref = jnp.maximum(sc.c_ref, 0)
     cl_f = jnp.concatenate([
         sc.s_pos[ref], sc.s_inv[ref].reshape(NS, NC, 9), sc.s_sci[ref],
@@ -374,13 +380,20 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     any_gamma = struct.gamma_on and bool(mats_with(PROP_GAMMA))
     any_cont = struct.any_cont
     any_tex = bool(struct.tex)
-    NH = 12 if any_tex else 10   # nearest-hit carry width (+local hit uv)
 
     def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc, *more):
         if resume:
             # 7th scalar-prefetch operand: the active-block list (used
             # only by the index_maps; ignored here)
             more = more[1:]
+        # nearest-hit/occlusion state lives in scratch VMEM refs mutated
+        # in place (the STORE_SIMD masked-store design, tracer.cpp:641-
+        # 643) instead of fori_loop value carries: a culled surface then
+        # skips ALL work — carried values would be copied through both
+        # lax.cond branches (13 tiles/surface), erasing the cull win
+        (t_s, srf_s, side_s, hwx_s, hwy_s, hwz_s, hnx_s, hny_s, hnz_s,
+         mat_s, hlx_s, hly_s, hlz_s, occ_s) = more[-14:]
+        more = more[:-14]
         (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
          tex_r, lut_r) = more[:9]
         rest_refs = more[9:]
@@ -443,9 +456,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # ---- per-class surface bodies --------------------------------
         def make_body(grp: Group, shadow, rays):
             (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-             olx, oly, olz, wmask) = rays
+             olx, oly, olz, wmask, bstats) = rays
 
-            def body(s, carry):
+            def body(s):
                 g = lambda k: sp_f[s, k]
                 P = dict(px=g(0), py=g(1), pz=g(2),
                          i00=g(3), i01=g(4), i02=g(5), i10=g(6), i11=g(7),
@@ -460,6 +473,38 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 lx = jnp.where(same, olx, lx)
                 ly = jnp.where(same, oly, ly)
                 lz = jnp.where(same, olz, lz)
+
+                def commit(v, t, side, wx, wy, wz, nx, ny, nz,
+                           hx, hy, hz):
+                    """Masked in-place best-hit update (STORE_SIMD under
+                    TMASK, tracer.cpp:641-643); tie-break on the
+                    ORIGINAL surface id so the class permutation is
+                    invisible (matches the jnp path's argmin order)."""
+                    t = jnp.where(v, t, BIG)
+                    bt = t_s[:]
+                    bsrf = srf_s[:]
+                    # (t < BIG) keeps misses (t == bt == BIG) from
+                    # overwriting the stored best hit
+                    better = (t < BIG) & (
+                        (t < bt) | ((t == bt) & (origid < bsrf)))
+                    midx = jnp.where(side > 0, sp_i[s, SI_MO],
+                                     sp_i[s, SI_MI])
+                    sel = lambda a_, r_: jnp.where(better, a_, r_[:])
+                    t_s[:] = jnp.where(better, t, bt)
+                    srf_s[:] = jnp.where(better, origid, bsrf)
+                    side_s[:] = sel(side, side_s)
+                    hwx_s[:] = sel(wx, hwx_s)
+                    hwy_s[:] = sel(wy, hwy_s)
+                    hwz_s[:] = sel(wz, hwz_s)
+                    hnx_s[:] = sel(nx, hnx_s)
+                    hny_s[:] = sel(ny, hny_s)
+                    hnz_s[:] = sel(nz, hnz_s)
+                    mat_s[:] = sel(midx, mat_s)
+                    # local hit rides along: texture UV + the origin_loc
+                    # of any continuation ray (local-diff reuse)
+                    hlx_s[:] = sel(hx, hlx_s)
+                    hly_s[:] = sel(hy, hly_s)
+                    hlz_s[:] = sel(hz, hlz_s)
 
                 if grp.is_plane:
                     # plane root + ray-sign side (tracer.cpp:4062-4210)
@@ -494,28 +539,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                         souter = side > 0
                         blocks = ((souter & ((blk & 1) != 0))
                                   | (~souter & ((blk & 2) != 0)))
-                        return (carry | (v & blocks).astype(I32))
-
-                    (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz,
-                     bmat) = carry[:10]
-                    t = jnp.where(v, t, BIG)
-                    # (t < BIG) keeps misses (t == bt == BIG, origid <
-                    # bsrf init) from overwriting the carry
-                    better = (t < BIG) & (
-                        (t < bt) | ((t == bt) & (origid < bsrf)))
+                        occ_s[:] = occ_s[:] | (v & blocks).astype(I32)
+                        return
                     # plane world normal = third row of inv, side-flipped
                     sf = side.astype(F32)
-                    midx = jnp.where(side > 0, sp_i[s, SI_MO],
-                                     sp_i[s, SI_MI])
-                    sel = lambda a_, b_: jnp.where(better, a_, b_)
-                    # local hit rides the carry: texture UV + the
-                    # origin_loc of any continuation ray (local-diff reuse)
-                    return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                            sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                            sel(P["i20"] * sf, bnx), sel(P["i21"] * sf, bny),
-                            sel(P["i22"] * sf, bnz), sel(midx, bmat),
-                            sel(hx, carry[10]), sel(hy, carry[11]),
-                            sel(hz, carry[12]))
+                    commit(v, t, side, wx, wy, wz,
+                           P["i20"] * sf, P["i21"] * sf, P["i22"] * sf,
+                           hx, hy, hz)
+                    return
 
                 # ---- quadric / two-plane class -----------------------
                 Q = dict(sx=g(12), sy=g(13), sz=g(14),
@@ -635,55 +666,161 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
 
                 if shadow:
                     blk = sp_i[s, SI_BLK]
-                    return (carry | (va & ((blk & 1) != 0)).astype(I32)
-                            | (vb & ((blk & 2) != 0)).astype(I32))
+                    occ_s[:] = (occ_s[:]
+                                | (va & ((blk & 1) != 0)).astype(I32)
+                                | (vb & ((blk & 2) != 0)).astype(I32))
+                    return
 
-                # per-surface nearest valid root, then one carry update
+                # per-surface nearest valid root, then one masked update
                 pick_b = vb & (~va | (root_b < root_a))
                 sel_ab = lambda fa, fb: jnp.where(pick_b, fb, fa)
                 t = sel_ab(jnp.where(va, root_a, BIG),
                            jnp.where(vb, root_b, BIG))
                 side = sel_ab(side_a, side_b)
-                wx = sel_ab(ha[3], hb[3])
-                wy = sel_ab(ha[4], hb[4])
-                wz = sel_ab(ha[5], hb[5])
                 gx = sel_ab(ha[6], hb[6])
                 gy = sel_ab(ha[7], hb[7])
                 gz = sel_ab(ha[8], hb[8])
-
-                (bt, bsrf, bside, bwx, bwy, bwz, bnx, bny, bnz, bmat) = \
-                    carry[:10]
-                better = (t < BIG) & (
-                    (t < bt) | ((t == bt) & (origid < bsrf)))
                 # world normal = inv^T grad, flipped to hit side
                 nwx = (P["i00"] * gx + P["i10"] * gy + P["i20"] * gz)
                 nwy = (P["i01"] * gx + P["i11"] * gy + P["i21"] * gz)
                 nwz = (P["i02"] * gx + P["i12"] * gy + P["i22"] * gz)
                 sf = side.astype(F32)
-                midx = jnp.where(side > 0, sp_i[s, SI_MO], sp_i[s, SI_MI])
-                sel = lambda a_, b_: jnp.where(better, a_, b_)
-                return (sel(t, bt), sel(origid, bsrf), sel(side, bside),
-                        sel(wx, bwx), sel(wy, bwy), sel(wz, bwz),
-                        sel(nwx * sf, bnx), sel(nwy * sf, bny),
-                        sel(nwz * sf, bnz), sel(midx, bmat),
-                        sel(sel_ab(ha[0], hb[0]), carry[10]),
-                        sel(sel_ab(ha[1], hb[1]), carry[11]),
-                        sel(sel_ab(ha[2], hb[2]), carry[12]))
+                commit(t < BIG, t, side,
+                       sel_ab(ha[3], hb[3]), sel_ab(ha[4], hb[4]),
+                       sel_ab(ha[5], hb[5]),
+                       nwx * sf, nwy * sf, nwz * sf,
+                       sel_ab(ha[0], hb[0]), sel_ab(ha[1], hb[1]),
+                       sel_ab(ha[2], hb[2]))
+                return
 
-            return body
+            n_grp = grp.n_block if shadow else grp.count
+            if not (cfg.cull and any(
+                    struct.bnd[grp.start + i] for i in range(n_grp))):
+                return body
+
+            def guarded(s):
+                """Bounding-sphere whole-block skip (the AR_ptr sub-list
+                skip, tracer.cpp:3953-4056, at on-chip block granularity
+                instead of packet granularity): the block's rays are
+                bounded ONCE per intersect call by an origin box plus a
+                direction cone (nearest-hit) or an origin-to-endpoint
+                capsule (shadows), so each surface's reach test is pure
+                SCALAR math — no per-ray vector work, no cross-lane
+                reduction. pl.when skips the solver/clip/commit body;
+                with state in scratch refs a skip carries nothing.
+                Every comparison is written so NaN/inf degrades to
+                "reach" (never to a wrong skip)."""
+                static_s = isinstance(s, int)
+                if static_s and not struct.bnd[s]:
+                    body(s)   # unbounded: never culled
+                    return
+                cx, cy, cz = sp_f[s, 34], sp_f[s, 35], sp_f[s, 36]
+                rs = jnp.sqrt(sp_f[s, 37])
+                if shadow:
+                    (c0x, c0y, c0z, ux, uy, uz, uu, brad) = bstats
+                    lcx = cx - c0x
+                    lcy = cy - c0y
+                    lcz = cz - c0z
+                    tp = jnp.clip((lcx * ux + lcy * uy + lcz * uz)
+                                  / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+                    qx = lcx - tp * ux
+                    qy = lcy - tp * uy
+                    qz = lcz - tp * uz
+                    dist2 = qx * qx + qy * qy + qz * qz
+                    re = rs + brad
+                    skip = dist2 > re * re
+                else:
+                    (c0x, c0y, c0z, bax, bay, baz, bcos, bsin,
+                     br0) = bstats
+                    lcx = cx - c0x
+                    lcy = cy - c0y
+                    lcz = cz - c0z
+                    d = lcx * bax + lcy * bay + lcz * baz
+                    dist2 = lcx * lcx + lcy * lcy + lcz * lcz
+                    perp = jnp.sqrt(jnp.maximum(dist2 - d * d, 0.0))
+                    # signed distance to the cone boundary in the
+                    # (axial, radial) plane; negative = inside cone
+                    e = perp * bcos - d * bsin
+                    skip = e > rs + br0
+                pred = ~skip
+                if not static_s:
+                    pred = pred | (sp_i[s, SI_BND] == 0)
+                pl.when(pred)(lambda: body(s))
+
+            return guarded
 
         # ---- intersect: nearest hit / shadow any-hit over all groups --
         def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
                       osrf, oside, thru, olx, oly, olz, shadow, wmask):
-            rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-                    olx, oly, olz, wmask)
-            if shadow:
-                carry = jnp.zeros(ox.shape, I32)
+            if cfg.cull and any(struct.bnd):
+                # per-call ray-bundle bound (the tiling() projection
+                # analog, engine.cpp:962-1107): origin box + direction
+                # cone (nearest-hit) / endpoint capsule (shadow rays
+                # all end at the light: tmx=1). Inactive lanes are
+                # excluded; all-inactive blocks degrade to "reach".
+                def mn(a):
+                    return jnp.min(jnp.where(wmask, a, BIG))
+
+                def mx(a):
+                    return jnp.max(jnp.where(wmask, a, -BIG))
+
+                oxm, oxM = mn(ox), mx(ox)
+                oym, oyM = mn(oy), mx(oy)
+                ozm, ozM = mn(oz), mx(oz)
+                c0x = 0.5 * (oxm + oxM)
+                c0y = 0.5 * (oym + oyM)
+                c0z = 0.5 * (ozm + ozM)
+                r0 = 0.5 * jnp.sqrt((oxM - oxm) ** 2 + (oyM - oym) ** 2
+                                    + (ozM - ozm) ** 2)
+                r0 = r0 * 1.0005 + 1e-4
+                if shadow:
+                    exm, exM = mn(ox + dx), mx(ox + dx)
+                    eym, eyM = mn(oy + dy), mx(oy + dy)
+                    ezm, ezM = mn(oz + dz), mx(oz + dz)
+                    c1x = 0.5 * (exm + exM)
+                    c1y = 0.5 * (eym + eyM)
+                    c1z = 0.5 * (ezm + ezM)
+                    r1 = 0.5 * jnp.sqrt((exM - exm) ** 2
+                                        + (eyM - eym) ** 2
+                                        + (ezM - ezm) ** 2)
+                    ux, uy, uz = c1x - c0x, c1y - c0y, c1z - c0z
+                    uu = ux * ux + uy * uy + uz * uz
+                    brad = jnp.maximum(r0, r1 * 1.0005 + 1e-4)
+                    bstats = (c0x, c0y, c0z, ux, uy, uz, uu, brad)
+                else:
+                    ilen = jax.lax.rsqrt(jnp.maximum(
+                        dx * dx + dy * dy + dz * dz, 1e-30))
+                    dhx = dx * ilen
+                    dhy = dy * ilen
+                    dhz = dz * ilen
+                    sx = jnp.sum(jnp.where(wmask, dhx, 0.0))
+                    sy = jnp.sum(jnp.where(wmask, dhy, 0.0))
+                    sz = jnp.sum(jnp.where(wmask, dhz, 0.0))
+                    an = jax.lax.rsqrt(jnp.maximum(
+                        sx * sx + sy * sy + sz * sz, 1e-30))
+                    bax, bay, baz = sx * an, sy * an, sz * an
+                    cosmin = jnp.min(jnp.where(
+                        wmask, dhx * bax + dhy * bay + dhz * baz, 1.0))
+                    cosw = jnp.clip(cosmin - 1e-4, -1.0, 1.0)
+                    sinw = jnp.sqrt(jnp.maximum(1.0 - cosw * cosw, 0.0))
+                    bstats = (c0x, c0y, c0z, bax, bay, baz, cosw, sinw,
+                              r0)
             else:
-                z = jnp.zeros(ox.shape, F32)
-                zi = jnp.zeros(ox.shape, I32)
-                carry = (jnp.full(ox.shape, BIG, F32), zi + 0x7FFFFFF,
-                         zi + 1, z, z, z, z, z, z, zi, z, z, z)
+                bstats = None
+            rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
+                    olx, oly, olz, wmask, bstats)
+            zs = jnp.zeros(ox.shape, F32)
+            zis = jnp.zeros(ox.shape, I32)
+            if shadow:
+                occ_s[:] = zis
+            else:
+                t_s[:] = jnp.full(ox.shape, BIG, F32)
+                srf_s[:] = zis + 0x7FFFFFF
+                side_s[:] = zis + 1
+                for r_ in (hwx_s, hwy_s, hwz_s, hnx_s, hny_s, hnz_s,
+                           hlx_s, hly_s, hlz_s):
+                    r_[:] = zs
+                mat_s[:] = zis
             for grp in struct.groups:
                 n = grp.n_block if shadow else grp.count
                 if n == 0:
@@ -694,11 +831,18 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     # access a static SMEM offset Mosaic can hoist out of
                     # the segment while_loop (they are loop-invariant)
                     for s in range(grp.start, grp.start + n):
-                        carry = body(s, carry)
+                        body(s)
                 else:
-                    carry = jax.lax.fori_loop(grp.start, grp.start + n,
-                                              body, carry)
-            return carry
+                    def loop_body(s, c):
+                        body(s)
+                        return c
+                    jax.lax.fori_loop(grp.start, grp.start + n,
+                                      loop_body, 0)
+            if shadow:
+                return occ_s[:]
+            return (t_s[:], srf_s[:], side_s[:], hwx_s[:], hwy_s[:],
+                    hwz_s[:], hnx_s[:], hny_s[:], hnz_s[:], mat_s[:],
+                    hlx_s[:], hly_s[:], hlz_s[:])
 
         # ---- material params per ray (unrolled one-hot over NM) -------
         def mat_params(midx):
@@ -1084,6 +1228,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     return kernel
 
 
+def _hit_scratch(sub: int):
+    """Scratch VMEM for the in-place nearest-hit/occlusion state
+    (t, srf, side, hw xyz, hn xyz, mat, hl xyz, occ) — see _make_kernel."""
+    f = pltpu.VMEM((sub, LANES), F32)
+    i = pltpu.VMEM((sub, LANES), I32)
+    return [f, i, i, f, f, f, f, f, f, i, f, f, f, i]
+
+
 _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
 
 # packed-scene cache: packing costs ~1 ms of XLA gathers per call on TPU,
@@ -1114,6 +1266,7 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
         grid=(grid,),
         in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
         out_specs=[ray_spec] * 3,
+        scratch_shapes=_hit_scratch(SUB),
     )
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
     return pl.pallas_call(
@@ -1147,6 +1300,7 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
         grid=(grid,),
         in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
         out_specs=[ray_spec] * 21,
+        scratch_shapes=_hit_scratch(SUB),
     )
     f32s = jax.ShapeDtypeStruct((R, LANES), F32)
     i32s = jax.ShapeDtypeStruct((R, LANES), I32)
@@ -1193,6 +1347,7 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
         grid=(n_blocks,),
         in_specs=[ray_spec] * 7 + [tex_spec, lut_spec] + [ray_spec] * 11,
         out_specs=[ray_spec] * 3,
+        scratch_shapes=_hit_scratch(sub),
     )
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
@@ -1315,19 +1470,53 @@ def _prep_and_trace_rounds(ps: PackedScene, org, dirs, t_min,
     return cols[:N]
 
 
+ROUNDS_K1 = 4     # product-path round-1 segment budget
+ROUNDS_SUB2 = 8   # product-path round-2 retirement granularity (rows)
+
+
+def use_rounds(struct: KernelStruct) -> bool:
+    """Product-path heuristic for the two-round in-place retirement.
+
+    Measured OFF (round 4): with block culling in the kernel, the
+    retirement rounds LOSE on every deep scene (demo03 59 vs 33 ms,
+    test13 14.0 vs 12.3, test14 19.0 vs 18.9 — r4 logs): round-1 must
+    write the 18-tile resumable ray state and round-2 re-reads it, and
+    the survivors of any workable k1 are scattered across most blocks
+    (41-100% of sub2=8 blocks hold at least one deep lane), so almost
+    no block retires while the state IO is paid on all of them. The
+    monolithic kernel's per-block while-loop early-exit plus
+    bounding-sphere culling is strictly faster. The machinery stays
+    (trace_rays_pallas_rounds) for workloads with clustered deep tails.
+    """
+    del struct
+    return False
+
+
+def trace_tiles(ps: PackedScene, tiles, struct: KernelStruct,
+                cfg: TraceConfig, interpret: bool = False):
+    """Dispatch pre-tiled rays through the fastest supported kernel
+    configuration: two-round in-place retirement for deep single-branch
+    scenes (the measured 1.7-3.4x non-retirement waste on demo03/test13),
+    the monolithic megakernel otherwise. This is THE product trace path:
+    render_pallas and bench.py both go through it."""
+    if use_rounds(struct):
+        return _trace_rounds_impl(ps, *tiles, struct=struct, cfg=cfg,
+                                  k1=ROUNDS_K1, interpret=interpret,
+                                  sub2=ROUNDS_SUB2)
+    return _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
+                        interpret=interpret)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "fsaa", "struct",
                                    "cfg", "interpret"))
 def _render_impl(ps: PackedScene, cam, width, height, fsaa,
                  struct: KernelStruct, cfg: TraceConfig, interpret: bool):
-    from quadray_tpu.ops.rays import camera_rays_tiled
+    from quadray_tpu.ops.rays import camera_rays_tiles2d, untile_frame
     cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov = cam
-    tiles = camera_rays_tiled(cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov,
-                              width, height, fsaa, BLOCK)
-    cr, cg, cb = _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
-                              interpret=interpret)
-    n = width * height * fsaa
-    comps = [jnp.clip(c.reshape(-1)[:n], 0.0, 1.0)
-             .reshape(height, width, fsaa).mean(axis=2)
+    tiles = camera_rays_tiles2d(cam_pos, cam_hor, cam_ver, cam_nrm,
+                                cam_pov, width, height, fsaa, BLOCK)
+    cr, cg, cb = trace_tiles(ps, tiles, struct, cfg, interpret)
+    comps = [untile_frame(c, width, height, fsaa, BLOCK)
              for c in (cr, cg, cb)]
     return jnp.stack(comps, axis=-1)
 
@@ -1337,13 +1526,11 @@ def render_pallas(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
                   interpret: bool = False, struct: KernelStruct = None):
     """Full-frame fast path: tiled ray gen -> megakernel -> (H, W, 3)
     linear image, all in one jit (no per-frame scene packing, no (N, 3)
-    layout round-trips). Falls back to the jnp renderer for scenes the
-    kernel does not support (rather than silently rendering wrong).
-    `struct` lets callers with per-frame animated SceneArrays reuse the
-    time-invariant kernel structure without a device round-trip."""
-    if not kernel_supported(sc):
-        from quadray_tpu.ops.trace import render as render_jnp
-        return render_jnp(sc, width, height, fsaa, cfg)
+    layout round-trips). Every scene feature is kernel-supported; deep
+    single-branch scenes automatically take the two-round retirement
+    path (see trace_tiles). `struct` lets callers with per-frame
+    animated SceneArrays reuse the time-invariant kernel structure
+    without a device round-trip."""
     struct = struct or _get_struct(sc)
     ps = _get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)

@@ -60,6 +60,70 @@ def resolve_aa(colors, width: int, height: int, fsaa: int):
     return colors.reshape(height, width, fsaa, 3).mean(axis=2)
 
 
+def tile_shape(fsaa: int, block: int):
+    """Screen-tile dims (TH, TW) with TH*TW*fsaa == block: the on-chip
+    ray block covers a compact 2D screen window instead of a full-width
+    scanline strip, so block-level bounding-sphere culling (the
+    tilebuffer analog, engine.cpp:3129-3253) has tight ray bundles."""
+    th = {1: 64, 2: 64, 4: 32}[fsaa]
+    tw = block // (th * fsaa)
+    return th, tw
+
+
+def camera_rays_tiles2d(cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov,
+                        width: int, height: int, fsaa: int, block: int):
+    """Primary rays in screen-tile order: seven (R, 128) f32 tiles where
+    each consecutive ``block`` rays form one (TH, TW) pixel window of the
+    frame (row-major tiles, row-major pixels within a tile, sub-samples
+    innermost). Out-of-frame pad pixels get tmin=1e30 (never hit, retire
+    after one segment). Use untile_frame to map kernel output back to
+    (H, W) pixel planes."""
+    offs = AA_OFFSETS[fsaa]
+    th, tw = tile_shape(fsaa, block)
+    ntx = -(-width // tw)
+    nty = -(-height // th)
+    w2, h2 = ntx * tw, nty * th
+    xs = jnp.arange(w2, dtype=F32)
+    ys = jnp.arange(h2, dtype=F32)
+    factor = 1.0 / width
+    aspect = height / width
+
+    def reorder(plane):  # (H2, W2, S) -> (R, 128)
+        return (plane.reshape(nty, th, ntx, tw, fsaa)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(-1, 128))
+
+    comps = []
+    for c in range(3):
+        planes = []
+        for (dx, dy) in offs:
+            u = (xs + (0.5 + dx)) * factor - 0.5
+            v = (ys + (0.5 + dy)) * factor - 0.5 * aspect
+            planes.append(cam_nrm[c] * cam_pov
+                          + cam_hor[c] * u[None, :]
+                          + cam_ver[c] * v[:, None])          # (H2, W2)
+        comps.append(reorder(jnp.stack(planes, axis=2)))
+    shape = comps[0].shape
+    org = [jnp.full(shape, cam_pos[c], F32) for c in range(3)]
+    inframe = ((ys < height)[:, None] & (xs < width)[None, :])  # (H2, W2)
+    tmin = jnp.where(inframe, cam_pov, 1e30)[..., None]
+    tmin = reorder(jnp.broadcast_to(tmin, (h2, w2, fsaa)).astype(F32))
+    return (*org, *comps, tmin)
+
+
+def untile_frame(comp, width: int, height: int, fsaa: int, block: int):
+    """Inverse of camera_rays_tiles2d's layout for one (R, 128) color
+    component: returns the (H, W) per-pixel plane (sub-samples averaged,
+    values clipped to [0, 1])."""
+    th, tw = tile_shape(fsaa, block)
+    ntx = -(-width // tw)
+    nty = -(-height // th)
+    plane = (comp.reshape(nty, ntx, th, tw, fsaa)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(nty * th, ntx * tw, fsaa))
+    return jnp.clip(plane[:height, :width], 0.0, 1.0).mean(axis=2)
+
+
 def camera_rays_tiled(cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov,
                       width: int, height: int, fsaa: int, block: int):
     """Primary rays in the Pallas kernel's native layout: seven (R, 128)

@@ -88,6 +88,10 @@ class TraceConfig(NamedTuple):
     # dielectric Fresnel on the transparency path
     unroll: int = 16         # kernel surface groups up to this size are
     # unrolled (static SMEM offsets, hoistable out of the segment loop)
+    cull: bool = True        # kernel bounding-sphere block culling (the
+    # AR_ptr whole-sublist skip analog, tracer.cpp:3953-4056): skip a
+    # surface's solver entirely when no ray in the on-chip block can
+    # reach its world bounding sphere
 
 
 # ---------------------------------------------------------------------------

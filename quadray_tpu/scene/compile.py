@@ -74,6 +74,10 @@ class SceneArrays:
     s_cmin: jnp.ndarray    # (NS,3) canonical axis clip min
     s_cmax: jnp.ndarray    # (NS,3) canonical axis clip max
     s_mat: jnp.ndarray     # (NS,2) i32 material index (outer, inner)
+    # bounding volumes (culling layer; rt_Array bounds semantics,
+    # object.cpp:1830-2320 + per-shape adjust_minmax object.cpp:2508-2799)
+    s_bnd: jnp.ndarray     # (NS,) i32 1 = finite world bounding sphere
+    s_bsph: jnp.ndarray    # (NS,4) f32 world bounding sphere cx cy cz r2
     s_emis: jnp.ndarray    # (NS,2,3) per-side PT emission radiance
     # (accumulated sibling-light color * 100, object.cpp:1333-1374)
     # clip programs, padded to (NS, NC)
@@ -229,6 +233,114 @@ def quadric_coeffs(srf: S.Surface):
     else:
         raise ValueError(f"unknown surface tag {t}")
     return sci, scjh, sciw
+
+
+_BND_INF = 1e20   # clip values at/above this are "unclipped"
+
+
+def _canonical_bounds(srf: S.Surface) -> Tuple[np.ndarray, np.ndarray]:
+    """Static canonical-frame AABB of the axis-clipped surface: the
+    per-shape intrinsic extent (adjust_minmax semantics,
+    object.cpp:2508-2799) intersected with the axis clip box. Returns
+    (cmin, cmax) float64 numpy, +-inf where unbounded. Custom clip
+    programs (MINUS relations) only shrink the region, so ignoring them
+    here is conservative — the bound may be loose, never wrong."""
+    cmin = np.array(srf.min, np.float64)
+    cmax = np.array(srf.max, np.float64)
+    cmin[np.abs(cmin) >= _BND_INF] = -np.inf
+    cmax[np.abs(cmax) >= _BND_INF] = +np.inf
+    t = srf.tag
+    f = lambda v: float(np.asarray(v))
+
+    def clamp(axis, lo, hi):
+        cmin[axis] = max(cmin[axis], lo)
+        cmax[axis] = min(cmax[axis], hi)
+
+    # largest |z| reachable inside the z clip window (inf if unclipped)
+    zab = max(abs(cmin[2]), abs(cmax[2]))
+    if t == S.TAG_PLANE:
+        clamp(2, 0.0, 0.0)
+    elif t == S.TAG_SPHERE:
+        r = abs(f(srf.rad))
+        for ax in range(3):
+            clamp(ax, -r, r)
+    elif t == S.TAG_CYLINDER:
+        r = abs(f(srf.rad))
+        clamp(0, -r, r)
+        clamp(1, -r, r)
+    elif t == S.TAG_CONE:
+        r = abs(f(srf.rat)) * zab
+        clamp(0, -r, r)
+        clamp(1, -r, r)
+    elif t == S.TAG_PARABOLOID:
+        par = f(srf.par)
+        # x^2 + y^2 = par*z: the surface lives on the sign(par) side of z
+        if par >= 0.0:
+            clamp(2, 0.0, np.inf)
+        else:
+            clamp(2, -np.inf, 0.0)
+        zab2 = max(abs(cmin[2]), abs(cmax[2]))
+        r = math.sqrt(abs(par) * zab2) if np.isfinite(zab2) else np.inf
+        clamp(0, -r, r)
+        clamp(1, -r, r)
+    elif t == S.TAG_HYPERBOLOID:
+        rat, hyp = f(srf.rat), f(srf.hyp)
+        r2 = rat * rat * zab * zab + hyp
+        r = math.sqrt(max(r2, 0.0)) if np.isfinite(zab) else np.inf
+        clamp(0, -r, r)
+        clamp(1, -r, r)
+    elif t == S.TAG_PARACYLINDER:
+        par = f(srf.par)
+        if par >= 0.0:
+            clamp(2, 0.0, np.inf)
+        else:
+            clamp(2, -np.inf, 0.0)
+        zab2 = max(abs(cmin[2]), abs(cmax[2]))
+        r = math.sqrt(abs(par) * zab2) if np.isfinite(zab2) else np.inf
+        clamp(0, -r, r)
+    elif t == S.TAG_HYPERCYLINDER:
+        rat, hyp = f(srf.rat), f(srf.hyp)
+        r2 = rat * rat * zab * zab + hyp
+        r = math.sqrt(max(r2, 0.0)) if np.isfinite(zab) else np.inf
+        clamp(0, -r, r)
+    elif t == S.TAG_HYPERPARABOLOID:
+        # x^2/p1 - y^2/p2 = z (saddle): each axis bounded only through
+        # the other two; use interval arithmetic on the clip box
+        p1, p2 = abs(f(srf.pr1)), abs(f(srf.pr2))
+        xab = max(abs(cmin[0]), abs(cmax[0]))
+        yab = max(abs(cmin[1]), abs(cmax[1]))
+        if np.isfinite(zab) and np.isfinite(yab):
+            r = math.sqrt(p1 * (zab + yab * yab / p2))
+            clamp(0, -r, r)
+        if np.isfinite(zab) and np.isfinite(xab):
+            r = math.sqrt(p2 * (zab + xab * xab / p1))
+            clamp(1, -r, r)
+        if np.isfinite(xab) and np.isfinite(yab):
+            hi = xab * xab / p1
+            lo = -yab * yab / p2
+            clamp(2, lo, hi)
+    return cmin, cmax
+
+
+def _bounding_sphere(cmin: np.ndarray, cmax: np.ndarray, lin, pos):
+    """World bounding sphere of a finite canonical box under the
+    canonical->world affine (lin, pos): center = transformed box center,
+    r = max corner distance, inflated for fp safety (the tracer's hit
+    points land on the surface only to roundoff)."""
+    ctr = (cmin + cmax) * 0.5
+    half = (cmax - cmin) * 0.5
+    # 8 corner offsets (static)
+    sgn = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                    for sz in (-1, 1)], np.float64)
+    corners = (sgn * half[None, :]).astype(np.float32)      # (8,3) static
+    ctr32 = ctr.astype(np.float32)
+    center_w = jnp.matmul(lin, jnp.asarray(ctr32),
+                          precision=jax.lax.Precision.HIGHEST) + pos
+    off_w = jnp.matmul(jnp.asarray(corners), lin.T,
+                       precision=jax.lax.Precision.HIGHEST)  # (8,3)
+    r = jnp.sqrt(jnp.max(jnp.sum(off_w * off_w, axis=1)))
+    r = r * 1.001 + 1e-4
+    return center_w, r * r
 
 
 def _unpack_color(val: int):
@@ -519,6 +631,12 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
     tags, kinds, sings = [], [], []
     poss, invs, fwds, scis, scjhs, sciws, cmins, cmaxs, mats = (
         [] for _ in range(9))
+    # culling gate: the tiling/bounding-volume optimization class
+    # (RT_OPTS_TILING/VARRAY analog) — scenes that turn it off get no
+    # bounding spheres, so the tracer stays brute-force (run0 analog)
+    use_cull = (scene.opts & S.OPTS_TILING) != 0
+    bnds: List[int] = []
+    bsphs: List[jnp.ndarray] = []
     cops = np.zeros((NS, NC), np.int32)
     crefs = np.full((NS, NC), -1, np.int32)
     csides = np.zeros((NS, NC), np.float32)
@@ -562,6 +680,18 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
         cmins.append(jnp.asarray(np.asarray(srf.min, np.float32)))
         cmaxs.append(jnp.asarray(np.asarray(srf.max, np.float32)))
         mats.append((sd["mat_outer"], sd["mat_inner"]))
+        bcmin, bcmax = _canonical_bounds(srf)
+        finite = bool(np.all(np.isfinite(bcmin))
+                      and np.all(np.isfinite(bcmax))
+                      and np.all(np.abs(bcmin) < _BND_INF)
+                      and np.all(np.abs(bcmax) < _BND_INF))
+        if finite and use_cull:
+            ctr_w, r2 = _bounding_sphere(bcmin, bcmax, lin, pos)
+            bnds.append(1)
+            bsphs.append(jnp.concatenate([ctr_w, jnp.reshape(r2, (1,))]))
+        else:
+            bnds.append(0)
+            bsphs.append(jnp.zeros((4,), F32))
         for j, (op, ref, side) in enumerate(sd["clips"][:NC]):
             cops[i, j] = op
             crefs[i, j] = ref
@@ -677,7 +807,12 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
     # generated in ops.rays following engine.cpp:3032-3055, 3256-3259)
     if not col.cameras:
         raise ValueError("scene has no camera")
-    cd = col.cameras[min(cam_index, len(col.cameras) - 1)]
+    # camera registry semantics: rt_Camera construction PREPENDS to the
+    # registry list (object.cpp:429-431, rt_List head insert), and the
+    # scene renders cam_head (engine.cpp:2923) — so index 0 is the LAST
+    # camera in hierarchy order (demo03's camera03/02/01 arrays)
+    cams = col.cameras[::-1]
+    cd = cams[min(cam_index, len(cams) - 1)]
     cam: S.Camera = cd["cam"]
     cmtx = cd["mtx"]
     amb += np.asarray(_unpack_color(cam.col)) * float(np.asarray(cam.amb))
@@ -692,6 +827,8 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
         s_cmin=pad_f(cmins, (3,)), s_cmax=pad_f(cmaxs, (3,)),
         s_mat=jnp.asarray(np.array(
             mats + [(0, 0)] * (NS - n_srf), np.int32)),
+        s_bnd=jnp.asarray(np.array(bnds + [0] * (NS - n_srf), np.int32)),
+        s_bsph=pad_f(bsphs, (4,)),
         s_emis=jnp.asarray(np.concatenate(
             [np.stack([sd["emis"] for sd in col.surfaces])]
             + ([np.zeros((NS - n_srf, 2, 3), np.float32)]
