@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-b", type=int, default=1)
-    ap.add_argument("-e", type=int, default=17)
+    ap.add_argument("-e", type=int, default=18)
     ap.add_argument("-x", type=int, default=800)
     ap.add_argument("-y", type=int, default=480)
     ap.add_argument("-i", action="store_true")
@@ -70,26 +70,22 @@ def main():
                      .max(-1).astype(np.uint8))
                 save_bmp(f"dump/dff{lvl:02d}.bmp", np.stack([d] * 3, -1))
         if args.k:
-            from quadray_tpu.ops.pallas_kernel import (
-                trace_rays_pallas, kernel_supported)
+            from quadray_tpu.ops.pallas_kernel import trace_rays_pallas
             from quadray_tpu.ops.trace import TraceConfig, trace_rays
             from quadray_tpu.ops.rays import camera_rays
             import jax.numpy as jnp
             arr = sc.arrays
-            if kernel_supported(arr):
-                org1, dirs = camera_rays(
-                    arr.cam_pos, arr.cam_hor, arr.cam_ver, arr.cam_nrm,
-                    arr.cam_pov, args.x, args.y, 1)
-                n = dirs.shape[0]
-                org = jnp.broadcast_to(org1[None, :], (n, 3))
-                tmin = jnp.full((n,), arr.cam_pov)
-                cfg = TraceConfig(stack=6)
-                a = trace_rays(arr, org, dirs, tmin, cfg)
-                b = trace_rays_pallas(arr, org, dirs, tmin, cfg)
-                d = float(jnp.abs(a - b).max())
-                print(f"pallas vs jnp maxdiff = {d:.2e}")
-            else:
-                print("pallas kernel: unsupported (textured scene)")
+            org1, dirs = camera_rays(
+                arr.cam_pos, arr.cam_hor, arr.cam_ver, arr.cam_nrm,
+                arr.cam_pov, args.x, args.y, 1)
+            n = dirs.shape[0]
+            org = jnp.broadcast_to(org1[None, :], (n, 3))
+            tmin = jnp.full((n,), arr.cam_pov)
+            cfg = TraceConfig(stack=6)
+            a = trace_rays(arr, org, dirs, tmin, cfg)
+            b = trace_rays_pallas(arr, org, dirs, tmin, cfg)
+            d = float(jnp.abs(a - b).max())
+            print(f"pallas vs jnp maxdiff = {d:.2e}")
     print(f"\n{failures} scene(s) with differences")
     return 1 if failures else 0
 

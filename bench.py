@@ -76,8 +76,6 @@ def bench_scene(name, cfg):
 
     sd = load_scene(name)
     sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
-    if not pk.kernel_supported(sc):
-        raise RuntimeError(f"{name}: kernel does not support this scene")
     struct = pk._get_struct(sc)
     ps = pk._get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
@@ -148,6 +146,42 @@ def bench_scene(name, cfg):
     return rays, per_frame * 1e3
 
 
+def bench_train():
+    """Inverse-rendering train step (BASELINE.json config 5) on the one
+    chip: fwd+bwd through the differentiable tracer + adam update on the
+    test01 recovery task. Steps mutate the params each iteration, so
+    every timed call executes (memoization-proof by construction).
+    Returns (ms_per_step, fwd_bwd_rays_per_s)."""
+    import jax
+    import jax.numpy as jnp
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    from quadray_tpu.parallel.mesh import ray_mesh
+    from quadray_tpu.parallel.train import make_train_step, extract_params
+    from quadray_tpu.ops.trace import TraceConfig
+
+    W, H = WIDTH, HEIGHT
+    sd = load_scene("test01")
+    sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
+    mesh = ray_mesh(jax.devices()[:1])
+    cfg = TraceConfig(max_segments=8, stack=4)
+    step_fn, opt_init = make_train_step(mesh, W, H, cfg=cfg)
+    params = extract_params(sc)
+    opt_state = opt_init(params)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    # warm (compile)
+    params, opt_state, loss = step_fn(params, opt_state, sc, target)
+    float(loss)
+    steps = 6
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state, sc, target)
+        float(loss)   # host fetch forces execution each step
+    dt = (time.perf_counter() - t0) / steps
+    return dt * 1e3, W * H / dt
+
+
 def golden_guard(cfg):
     """Render test01 through the benched path and diff vs the reference
     golden BMP (core_test comparator). Returns bad-pixel count."""
@@ -193,6 +227,15 @@ def main():
                 extra[name]["vs_baseline"] = round(rays / BASELINE[name], 4)
         except Exception as e:  # secondary metrics must not sink the bench
             print(f"# {name} bench skipped: {e}", file=sys.stderr)
+
+    try:
+        tms, trays = bench_train()
+        print(f"# train step (test01 {WIDTH}x{HEIGHT} fwd+bwd+adam): "
+              f"{tms:.1f} ms/step, {trays / 1e6:.2f} Mray/s", file=sys.stderr)
+        extra["train_test01"] = {"ms_per_step": round(tms, 2),
+                                 "fwd_bwd_rays_per_s": round(trays)}
+    except Exception as e:
+        print(f"# train bench skipped: {e}", file=sys.stderr)
 
     rays, ms = bench_scene("test01", cfg)
     print(json.dumps({

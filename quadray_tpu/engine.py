@@ -229,7 +229,7 @@ class Scene:
         if not self._use_pallas():
             return None
         import quadray_tpu.ops.pallas_kernel as pk
-        return pk._get_struct(sc) if pk.kernel_supported(sc) else None
+        return pk._get_struct(sc)
 
     def _use_pallas(self) -> bool:
         if self.pfm.use_pallas is not None:

@@ -339,6 +339,16 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     extra input tiles instead of fresh primary rays. Both require
     can_push=False (the branch stack cannot spill)."""
     assert not ((emit_state or resume) and struct.can_push)
+    # VMEM budget guard (the while-loop carry is the dominant resident):
+    # ~23 ray-state tiles + 15*stack branch-stack tiles when can_push,
+    # plus 14 scratch tiles, at SUB x 128 x 4 B each. Fails loudly with
+    # the knob to turn instead of a late Mosaic allocation error.
+    tiles = 23 + 14 + (15 * cfg.stack if struct.can_push else 0)
+    vmem_mb = tiles * SUB * LANES * 4 / 2**20
+    assert vmem_mb < 96, (
+        f"kernel carry needs ~{vmem_mb:.0f} MiB VMEM "
+        f"(stack={cfg.stack}, can_push={struct.can_push}); lower "
+        "TraceConfig.stack or reduce SUB")
     D = cfg.stack
     NC = struct.nc
     NM = struct.nm

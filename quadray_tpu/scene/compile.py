@@ -14,8 +14,12 @@ consume. Differences from the reference, by design (TPU-first):
   * per-surface lists (clippers with boolean accum markers,
     object.cpp:2382-2454 + engine.cpp:1821-1950) become fixed-width padded
     index arrays (clip programs) evaluated data-parallel.
-  * no tilebuffer / sorted lists — the tracer is brute-force over surfaces
-    with masks (SURVEY.md §2.7); culling can be layered on later.
+  * the tilebuffer / sorted-list culling layer (engine.cpp ssort/lsort/
+    stile) becomes per-surface world bounding spheres (s_bnd/s_bsph,
+    derived from each shape's intrinsic extent ∩ axis clips — the
+    rt_Array/adjust_minmax bounds semantics, object.cpp:1830-2320,
+    2508-2799); the kernel culls whole ray blocks against them at
+    trace time (the AR_ptr skip analog), gated by the tiling opt flag.
 
 All numeric math uses jnp so gradients flow from pixels back to transforms,
 shape parameters, materials and lights (inverse rendering).
