@@ -148,8 +148,9 @@ def bench_scene(name, cfg):
 
 def bench_train():
     """Inverse-rendering train step (BASELINE.json config 5) on the one
-    chip: fwd+bwd through the differentiable tracer + adam update on the
-    test01 recovery task. Steps mutate the params each iteration, so
+    chip: fwd (Pallas path emit) + differentiable trace-replay bwd +
+    adam update on the test01 recovery task (parallel/train.py
+    make_train_step_fast). Steps mutate the params each iteration, so
     every timed call executes (memoization-proof by construction).
     Returns (ms_per_step, fwd_bwd_rays_per_s)."""
     import jax
@@ -158,7 +159,8 @@ def bench_train():
     from quadray_tpu.scene import schema as S
     from quadray_tpu.scene.compile import compile_scene
     from quadray_tpu.parallel.mesh import ray_mesh
-    from quadray_tpu.parallel.train import make_train_step, extract_params
+    from quadray_tpu.parallel.train import (make_train_step_fast,
+                                            extract_params)
     from quadray_tpu.ops.trace import TraceConfig
 
     W, H = WIDTH, HEIGHT
@@ -166,7 +168,7 @@ def bench_train():
     sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
     mesh = ray_mesh(jax.devices()[:1])
     cfg = TraceConfig(max_segments=8, stack=4)
-    step_fn, opt_init = make_train_step(mesh, W, H, cfg=cfg)
+    step_fn, opt_init = make_train_step_fast(mesh, sc, W, H, cfg=cfg)
     params = extract_params(sc)
     opt_state = opt_init(params)
     target = jnp.zeros((W * H, 3), jnp.float32)

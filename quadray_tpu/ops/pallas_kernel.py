@@ -333,12 +333,22 @@ def _root(num, den):
 
 
 def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
-                 emit_state: bool = False, resume: bool = False):
+                 emit_state: bool = False, resume: bool = False,
+                 emit_paths: int = 0):
     """emit_state: besides colors, write the 18-tile resumable ray state
     (two-round compacted tracing); resume: initialize the ray state from
     extra input tiles instead of fresh primary rays. Both require
-    can_push=False (the branch stack cannot spill)."""
+    can_push=False (the branch stack cannot spill).
+
+    emit_paths=K: besides colors, write K per-segment path-record tiles
+    (i32): bits 0-11 hit surface ORIGINAL id, 12 side(+1), 13-14 the
+    continuation kind (0 stop / 1 reflect / 2 transmit), 15 hit flag,
+    16+l per-light occlusion. Consumed by ops/replay.py for trace-replay
+    differentiation (the discrete path is detached; the arithmetic is
+    replayed differentiably). Requires can_push=False (the record is one
+    linear chain per lane)."""
     assert not ((emit_state or resume) and struct.can_push)
+    assert not (emit_paths and struct.can_push)
     # VMEM budget guard (the while-loop carry is the dominant resident):
     # ~23 ray-state tiles + 15*stack branch-stack tiles when can_push,
     # plus 14 scratch tiles, at SUB x 128 x 4 B each. Fails loudly with
@@ -401,6 +411,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # 643) instead of fori_loop value carries: a culled surface then
         # skips ALL work — carried values would be copied through both
         # lax.cond branches (13 tiles/surface), erasing the cull win
+        if emit_paths:
+            rec_s = more[-1]
+            more = more[:-1]
         (t_s, srf_s, side_s, hwx_s, hwy_s, hwz_s, hnx_s, hny_s, hnz_s,
          mat_s, hlx_s, hly_s, hlz_s, occ_s) = more[-14:]
         more = more[:-14]
@@ -930,6 +943,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         dz = dz_r[:]
         tmn = tm_r[:]
         shape = ox.shape
+        if emit_paths:
+            rec_s[:] = jnp.zeros((emit_paths,) + shape, I32)
         z = jnp.zeros(shape, F32)
         zi = jnp.zeros(shape, I32)
         zb = jnp.zeros(shape, jnp.bool_)
@@ -975,6 +990,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             diffuse_v = flag_vec(PROP_DIFFUSE, bmat)
             specular_v = flag_vec(PROP_SPECULAR, bmat)
             metal_v = flag_vec(PROP_METAL, bmat)
+            occ_rec = zi
             for l in range(NL):
                 lpx, lpy, lpz = lg_f[l, 0], lg_f[l, 1], lg_f[l, 2]
                 lcr, lcg, lcb = lg_f[l, 3], lg_f[l, 4], lg_f[l, 5]
@@ -985,6 +1001,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 occ = intersect(hx, hy, hz, lvx, lvy, lvz, z, one_t,
                                 bsrf, bside, zb, hlx, hly, hlz, True, lit)
                 hm = lit & ~(occ != 0)
+                if emit_paths:
+                    occ_rec = occ_rec | ((~hm).astype(I32) << (16 + l))
                 r2 = lvx * lvx + lvy * lvy + lvz * lvz
                 r = jnp.sqrt(jnp.maximum(r2, 1e-30))
                 attn = jax.lax.rsqrt(jnp.maximum(
@@ -1103,7 +1121,23 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             acc_g = acc_g + jnp.where(hit, thr_g * col_g * lw, 0.0)
             acc_b = acc_b + jnp.where(hit, thr_b * col_b * lw, 0.0)
 
+            def record_path(kind):
+                """Per-segment path record for trace-replay autodiff
+                (see _make_kernel docstring for the bit layout)."""
+                packed = ((jnp.where(hit, bsrf, 0) & 0xFFF)
+                          | jnp.where(bside > 0, 1 << 12, 0)
+                          | (kind << 13)
+                          | jnp.where(hit, 1 << 15, 0)
+                          | occ_rec)
+                packed = jnp.where(active, packed, 0)
+
+                @pl.when(it < emit_paths)
+                def _():
+                    rec_s[pl.ds(it, 1)] = packed[None]
+
             if not any_cont:
+                if emit_paths:
+                    record_path(zi)
                 # no material reflects or transmits: single segment
                 return (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
                         depth, osrf, oside, thru_i, olx, oly, olz, zi,
@@ -1154,6 +1188,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 ol2x = w2(cont, hlx, olx)
                 ol2y = w2(cont, hly, oly)
                 ol2z = w2(cont, hlz, olz)
+                if emit_paths:
+                    record_path(jnp.where(cont,
+                                          jnp.where(use_rfl, 1, 2), 0))
                 return (ox2, oy2, oz2, dx2, dy2, dz2, tmn2, tr2, tg2,
                         tb2, dep2, osrf2, osd2, thru2, ol2x, ol2y, ol2z,
                         act2, acc_r, acc_g, acc_b, sp, stk, it + 1)
@@ -1234,6 +1271,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         if emit_state:
             for ref, val in zip(out_refs[3:], out[:18]):
                 ref[:] = val
+        if emit_paths:
+            for k in range(emit_paths):
+                out_refs[3 + k][:] = rec_s[k]
 
     return kernel
 
@@ -1284,6 +1324,99 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
         interpret=interpret,
     )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
       ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "k_paths",
+                                   "interpret"))
+def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
+                       struct: KernelStruct, cfg: TraceConfig,
+                       k_paths: int, interpret: bool):
+    """Colors + K per-segment path-record tiles (trace-replay autodiff).
+    Segments are capped at K so every executed segment is recorded."""
+    R = ox.shape[0]
+    grid = R // SUB
+    cfgk = cfg._replace(max_segments=k_paths)
+    kern = _make_kernel(struct, cfgk, emit_paths=k_paths)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    G = ps.tex_pk.shape[0]
+    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(grid,),
+        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
+        out_specs=[ray_spec] * (3 + k_paths),
+        scratch_shapes=_hit_scratch(SUB)
+        + [pltpu.VMEM((k_paths, SUB, LANES), I32)],
+    )
+    out_shape = ([jax.ShapeDtypeStruct((R, LANES), F32)] * 3
+                 + [jax.ShapeDtypeStruct((R, LANES), I32)] * k_paths)
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
+      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+
+
+def trace_paths(sc: SceneArrays, org, dirs, t_min,
+                cfg: TraceConfig = TraceConfig(), k_paths: int = 8,
+                interpret: bool = False):
+    """Kernel forward that also returns the per-lane path records:
+    (colors (N, 3) f32, paths (K, N) i32). Single-branch scenes only
+    (can_push falls back is NOT provided — callers gate on struct)."""
+    N = dirs.shape[0]
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+    struct = _get_struct(sc)
+    assert not struct.can_push, "trace_paths requires single-branch scenes"
+    ps = _get_packed(sc, struct)
+    return _prep_and_trace_paths(ps, org, dirs, t_min, struct, cfg,
+                                 k_paths, interpret)
+
+
+def trace_paths_with_struct(sc: SceneArrays, struct: KernelStruct, org,
+                            dirs, t_min, cfg: TraceConfig = TraceConfig(),
+                            k_paths: int = 8, interpret: bool = False):
+    """trace_paths for callers holding a pre-extracted KernelStruct —
+    fully jit-traceable in ``sc`` (the training loop re-packs the scene
+    from updated parameters every step)."""
+    N = dirs.shape[0]
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+    ps = pack_scene(sc, struct)
+    return _prep_and_trace_paths(ps, org, dirs, t_min, struct, cfg,
+                                 k_paths, interpret)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "k_paths",
+                                   "interpret"))
+def _prep_and_trace_paths(ps: PackedScene, org, dirs, t_min,
+                          struct: KernelStruct, cfg: TraceConfig,
+                          k_paths: int, interpret: bool):
+    N = dirs.shape[0]
+    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    pad = npad - N
+    orgT = org.T
+    dirsT = dirs.T
+
+    def prep(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(npad // LANES, LANES)
+
+    tiles = ([prep(orgT[i]) for i in range(3)]
+             + [prep(dirsT[i], 1.0) for i in range(3)]
+             + [prep(t_min.astype(F32), BIG)])
+    outs = _trace_tiled_paths(ps, *tiles, struct=struct, cfg=cfg,
+                              k_paths=k_paths, interpret=interpret)
+    cr, cg, cb = outs[:3]
+    cols = jnp.stack([cr.reshape(-1), cg.reshape(-1), cb.reshape(-1)],
+                     axis=-1)[:N]
+    paths = jnp.stack([p.reshape(-1)[:N] for p in outs[3:]], axis=0)
+    return cols, paths
 
 
 _STATE_I32 = (3, 4, 5, 6, 10)   # depth, osrf, oside, thru, active slots

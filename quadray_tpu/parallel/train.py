@@ -47,6 +47,100 @@ def loss_fn(params: Dict[str, Any], sc, org, dirs, t_min, target, w,
     return err / jnp.maximum(jnp.sum(w) * 3.0, 1.0)
 
 
+def make_train_step_fast(mesh, sc0, width: int, height: int,
+                         cfg: TraceConfig = TraceConfig(max_segments=8,
+                                                        stack=4),
+                         fsaa: int = 1, lr: float = 1e-2,
+                         fields=DIFFERENTIABLE_FIELDS, k_paths: int = 8,
+                         interpret: bool = False):
+    """Fast train step via trace-replay differentiation: the Pallas
+    megakernel traces the current scene and emits per-segment path
+    records (detached), and the differentiable color is re-evaluated
+    along those paths in O(N*K) (ops/replay.py). Requires a
+    single-branch scene (struct.can_push False); ``sc0`` supplies the
+    static kernel structure, which parameter updates cannot change.
+
+    ~100x the throughput of the all-surface jnp autodiff path on TPU
+    (the jnp tracer's (N, NS) AoS intermediates are VPU-hostile);
+    gradients agree wherever the path topology is locally constant —
+    the framework's documented differentiability contract."""
+    import quadray_tpu.ops.pallas_kernel as pk
+    from quadray_tpu.ops.replay import replay_color
+
+    struct = pk._get_struct(sc0)
+    assert not struct.can_push, \
+        "trace-replay training requires a single-branch scene"
+    opt = optax.adam(lr)
+    spec_r = P(RAY_AXIS)
+
+    def loss_fast(params, sc_rep, org, dirs_blk, t_min, target_blk,
+                  w_blk):
+        sc2 = sc_rep.replace(**params)
+        # the path emit is fully detached (inputs AND outputs): the
+        # discrete path structure is piecewise-constant in the params,
+        # and pallas_call has no JVP rule for scalar-prefetch kernels
+        sc_det = jax.tree_util.tree_map(jax.lax.stop_gradient, sc2)
+        _, paths = pk.trace_paths_with_struct(
+            sc_det, struct, jax.lax.stop_gradient(org), dirs_blk, t_min,
+            cfg, k_paths, interpret)
+        paths = jax.lax.stop_gradient(paths)
+        cols = replay_color(sc2, org, dirs_blk, t_min, paths, cfg)
+        cols = jnp.clip(cols, 0.0, 1.0)
+        err = jnp.sum(((cols - target_blk) ** 2) * w_blk[:, None])
+        return err / jnp.maximum(jnp.sum(w_blk) * 3.0, 1.0)
+
+    def local_step(params, sc_rep, dirs_blk, target_blk, w_blk):
+        org = jnp.broadcast_to(sc_rep.cam_pos[None, :],
+                               (dirs_blk.shape[0], 3))
+        t_min = jnp.full((dirs_blk.shape[0],), sc_rep.cam_pov, F32)
+        loss, grads = jax.value_and_grad(loss_fast)(
+            params, sc_rep, org, dirs_blk, t_min, target_blk, w_blk)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, RAY_AXIS), grads)
+        loss = jax.lax.pmean(loss, RAY_AXIS)
+        return loss, grads
+
+    nd = mesh.devices.size
+
+    @jax.jit
+    def grad_fn(params, sc, target_flat):
+        scene_specs = jax.tree_util.tree_map(lambda _: P(), sc)
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        sharded = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(param_specs, scene_specs, spec_r, spec_r, spec_r),
+            out_specs=(P(), param_specs), check_vma=False)
+        org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                                 sc.cam_nrm, sc.cam_pov, width, height,
+                                 fsaa)
+        n = dirs.shape[0]
+        npad = pad_to(n, nd)
+        tgt = target_flat
+        w = jnp.ones((npad,), F32)
+        if npad != n:
+            dirs = jnp.concatenate([dirs, jnp.ones((npad - n, 3), F32)], 0)
+            tgt = jnp.concatenate([tgt, jnp.zeros((npad - n, 3), F32)], 0)
+            w = w.at[n:].set(0.0)
+        return sharded(params, sc, dirs, tgt, w)
+
+    @jax.jit
+    def update_fn(grads, opt_state, params):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def step_fn(params, opt_state, sc, target_flat):
+        # two dispatches by design: fusing the optimizer update into the
+        # grad jit makes the axon runtime ~60x slower per step (optimizer
+        # state consuming the gradient tree inside one executable —
+        # 22 s/step vs 0.37; measured round 4), and the update math is
+        # trivial anyway
+        loss, grads = grad_fn(params, sc, target_flat)
+        params, opt_state = update_fn(grads, opt_state, params)
+        return params, opt_state, loss
+
+    return step_fn, opt.init
+
+
 def make_train_step(mesh, width: int, height: int,
                     cfg: TraceConfig = TraceConfig(max_segments=8, stack=4),
                     fsaa: int = 1, lr: float = 1e-2,
