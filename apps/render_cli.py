@@ -20,6 +20,15 @@ CLI mirrors the reference options where meaningful (RooT.h:637-1010):
   -h n   draw fps counter into frames             [-h]
   -p     force the pure-jnp path (no pallas)
   -c     force CPU backend
+  -k s   scripted interactive actions: comma-separated per-frame key
+         tokens mirroring RooT's hotkeys (RooT.h:434-442 + 283-451);
+         '+' combines keys in one frame, '.' is an idle frame, and the
+         trace loops if shorter than -f. Example:
+           -k "w,w,w+left,left,.,f4,a2,s,right"
+         keys: w/s/a/d moves, up/down/left/right rotations (RooT's
+         inverted pitch mapping), rise/fall vertical moves, f4 save
+         frame, a1/a2/a4 antialiasing, q path-tracer toggle, f1 state
+         dump, d1/d2/d3 scene switch
 """
 
 import argparse
@@ -49,6 +58,8 @@ def main():
     ap.add_argument("-hud", action="store_true", help="fps counter on frame")
     ap.add_argument("-p", action="store_true", help="force jnp path")
     ap.add_argument("-c", action="store_true", help="force CPU")
+    ap.add_argument("-k", type=str, default=None,
+                    help="scripted per-frame key trace (see docstring)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +76,47 @@ def main():
     scene = Scene(sdef, args.x, args.y, pfm=pfm)
 
     os.makedirs("dump", exist_ok=True)
+
+    # scripted interactive loop (the RooT main_step hotkey dispatch,
+    # RooT.h:272-633, driven by a key trace instead of X11 events)
+    from quadray_tpu import engine as E
+    key_actions = {
+        "w": E.CAMERA_MOVE_FORWARD, "s": E.CAMERA_MOVE_BACK,
+        "a": E.CAMERA_MOVE_LEFT, "d": E.CAMERA_MOVE_RIGHT,
+        "rise": E.CAMERA_MOVE_UP, "fall": E.CAMERA_MOVE_DOWN,
+        # RooT maps UP key -> ROTATE_DOWN and vice versa (RooT.h:439-440)
+        "up": E.CAMERA_ROTATE_DOWN, "down": E.CAMERA_ROTATE_UP,
+        "left": E.CAMERA_ROTATE_LEFT, "right": E.CAMERA_ROTATE_RIGHT,
+    }
+    script = ([tok.strip() for tok in args.k.split(",")] if args.k
+              else None)
+    scr_id = [0]
+
+    def dispatch(keys: str, sim_ms: float):
+        """Apply one frame's '+'-combined key tokens; returns the scene
+        to render (scene switches return a new one)."""
+        nonlocal scene
+        for key in keys.split("+"):
+            key = key.lower()
+            if key in ("", "."):
+                continue
+            if key in key_actions:
+                scene.update_action(sim_ms, key_actions[key])
+            elif key == "f4":
+                scene.save_frame(f"dump/scr{scr_id[0]:03d}.bmp")
+                scr_id[0] += 1
+            elif key in ("a1", "a2", "a4"):
+                pfm.set_fsaa(int(key[1]))
+            elif key == "q":
+                scene.set_pton(not scene.pt_on)
+            elif key == "f1":
+                scene.print_state()
+            elif key in ("d1", "d2", "d3"):
+                scene = Scene(demos.build(f"demo0{key[1]}"),
+                              args.x, args.y, pfm=pfm)
+            else:
+                print(f"unknown key token: {key}", file=sys.stderr)
+        return scene
     t_wall0 = time.time()
     t_log = t_wall0
     frames_in_interval = 0
@@ -72,6 +124,8 @@ def main():
 
     for fi in range(args.f):
         sim_ms = fi * (1000.0 / 30.0)  # 30 fps animation clock
+        if script:
+            scene = dispatch(script[fi % len(script)], sim_ms)
         frame = scene.render(sim_ms)
         total += 1
         frames_in_interval += 1

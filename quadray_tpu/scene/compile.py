@@ -361,6 +361,9 @@ class _Collected:
         self.cameras: List[Dict[str, Any]] = []
         self.materials: List[S.Material] = []
         self.mat_ids: Dict[int, int] = {}
+        # surfaces UNTIE'd from bounding volumes (BOUND/UNTIE relation
+        # rows, object.cpp:1498-1586): rendered without culling
+        self.untied: set = set()
 
     def material_index(self, mat: Optional[S.Material]) -> int:
         if mat is None:
@@ -482,6 +485,24 @@ def _apply_relations(col: _Collected, arr: S.Array, slots: List[_Slot]):
             continue
         if r in (S.REL_BOUND_ARRAY, S.REL_UNTIE_ARRAY,
                  S.REL_BOUND_INDEX, S.REL_UNTIE_INDEX):
+            # bounding-volume membership (object.cpp:1498-1586). Our
+            # culling uses per-surface spheres derived from each
+            # surface's own clips, so BOUND (membership on) is the
+            # default; UNTIE'd objects are excluded from culling — the
+            # analog of the reference testing untied objects outside
+            # any bvnode sub-list. Later rows override earlier ones.
+            tie = r in (S.REL_BOUND_ARRAY, S.REL_BOUND_INDEX)
+            if r in (S.REL_BOUND_ARRAY, S.REL_UNTIE_ARRAY):
+                if 0 <= rel.obj2 < len(ctx_r):
+                    targets = ctx_r[rel.obj2].all_surfaces()
+                else:  # {-1, *, -1}: this whole array
+                    targets = [si for s_ in slots
+                               for si in s_.all_surfaces()]
+            else:
+                targets = (ctx_r[rel.obj2].all_surfaces()
+                           if 0 <= rel.obj2 < len(ctx_r) else [])
+            for si in targets:
+                (col.untied.discard if tie else col.untied.add)(si)
             if rel.obj1 >= 0:
                 ctx_l = slots
             if rel.obj2 >= 0:
@@ -689,7 +710,7 @@ def _compile_scene_impl(scene: S.SceneDef, time: float = 0.0,
                       and np.all(np.isfinite(bcmax))
                       and np.all(np.abs(bcmin) < _BND_INF)
                       and np.all(np.abs(bcmax) < _BND_INF))
-        if finite and use_cull:
+        if finite and use_cull and i not in col.untied:
             ctr_w, r2 = _bounding_sphere(bcmin, bcmax, lin, pos)
             bnds.append(1)
             bsphs.append(jnp.concatenate([ctr_w, jnp.reshape(r2, (1,))]))

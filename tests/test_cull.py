@@ -99,3 +99,37 @@ def test_cull_on_off_bitwise_hardware():
     b = np.asarray(render_pallas(sc, 800, 480, 1,
                                  TraceConfig(stack=6, cull=False)))
     assert np.array_equal(a, b)
+
+
+def test_untie_bound_relations():
+    """BOUND/UNTIE relation rows (object.cpp:1498-1586) control culling
+    membership: UNTIE'd surfaces render without bounding volumes (never
+    culled), BOUND re-ties; the frames are identical either way (the
+    core_test bounds on/off differential)."""
+    import dataclasses
+    from quadray_tpu.ops.pallas_kernel import trace_rays_pallas
+    sd = load_scene("test01")
+    base_rels = list(sd.root.relations)
+
+    def with_rels(extra):
+        root = dataclasses.replace(sd.root,
+                                   relations=base_rels + extra)
+        return compile_scene(S.SceneDef(
+            root=root, opts=S.OPTS_FULL & ~sd.opts))
+
+    sc_on = with_rels([])
+    sc_off = with_rels([S.Relation(-1, S.REL_UNTIE_ARRAY, -1)])
+    sc_re = with_rels([S.Relation(-1, S.REL_UNTIE_ARRAY, -1),
+                       S.Relation(-1, S.REL_BOUND_ARRAY, -1)])
+    n_on = int(np.asarray(sc_on.s_bnd).sum())
+    assert n_on > 0
+    assert int(np.asarray(sc_off.s_bnd).sum()) == 0
+    assert int(np.asarray(sc_re.s_bnd).sum()) == n_on
+
+    org, dirs, t_min = _rays(sc_on, 128, 64)
+    cfg = TraceConfig(stack=6)
+    a = np.asarray(trace_rays_pallas(sc_on, org, dirs, t_min, cfg,
+                                     interpret=True))
+    b = np.asarray(trace_rays_pallas(sc_off, org, dirs, t_min, cfg,
+                                     interpret=True))
+    assert np.array_equal(a, b)

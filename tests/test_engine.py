@@ -94,3 +94,26 @@ def test_debug_tools():
     assert rows and all(np.isfinite(r["disc"]) for r in rows)
     img = overlay_hit_ids(sc, 64, 40)
     assert img.shape == (40, 64, 3) and img.max() > 0
+
+
+def test_render_cli_scripted_flythrough(tmp_path):
+    """The RooT-analog scripted interactive loop (apps/render_cli.py -k):
+    a demo01 flythrough driven by key tokens must move the camera (frames
+    change vs the static render) and honor f4 frame saves."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "apps", "render_cli.py"),
+         "-c", "-p", "-x", "64", "-y", "40", "-f", "4",
+         "-k", "w+w,f4,w+left,f4"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**_os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    from quadray_tpu.utils.image import load_bmp
+    f0 = load_bmp(str(tmp_path / "dump" / "scr000.bmp"))
+    f1 = load_bmp(str(tmp_path / "dump" / "scr001.bmp"))
+    assert f0.shape == (40, 64, 3)
+    # camera moved forward + rotated between the saves: pixels change
+    assert (f0 != f1).any()

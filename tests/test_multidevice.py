@@ -174,3 +174,44 @@ def test_checkpoint_resume_training(sc, tmp_path):
     for k in p_ref:
         np.testing.assert_array_equal(np.asarray(p_ref[k]),
                                       np.asarray(p2[k]), err_msg=k)
+
+
+def test_two_process_distributed_smoke():
+    """ACTUALLY runs jax.distributed with process_count()==2: two local
+    CPU processes over a localhost coordinator exercise
+    init_distributed, the global 4-device mesh, a cross-process psum and
+    assemble_frame's process_allgather (tests/_dist_worker.py). Skipped
+    where the sandbox forbids local TCP."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import os as _os
+    with socket.socket() as s:
+        try:
+            s.bind(("127.0.0.1", 0))
+        except OSError as e:  # sandboxed-off networking
+            pytest.skip(f"no localhost TCP: {e}")
+        port = s.getsockname()[1]
+    worker = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "_dist_worker.py")
+    env = {k: v for k, v in _os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed smoke test timed out")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and ("UNAVAILABLE" in out
+                                  or "PermissionDenied" in out):
+            pytest.skip(f"distributed service unavailable: {out[-300:]}")
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert f"OK process {i}" in out, out[-3000:]
