@@ -184,6 +184,54 @@ def bench_train():
     return dt * 1e3, W * H / dt
 
 
+def bench_pt():
+    """In-kernel path tracer throughput: sequential 1-spp passes over
+    test18 (the smallpt Cornell box, the reference's -q benchmark
+    scene). Seeds advance every pass, so each timed call executes.
+    Returns (ms_per_pass, primary_paths_per_s)."""
+    import jax
+    import jax.numpy as jnp
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    from quadray_tpu.ops.pt import init_seeds, pt_camera_rays
+    from quadray_tpu.ops.trace import TraceConfig
+    import quadray_tpu.ops.pallas_kernel as pk
+
+    sd = load_scene("test18")
+    sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
+    n = WIDTH * HEIGHT
+    cfg = TraceConfig(depth=10)
+    import numpy as _np
+
+    def run(spp, salt):
+        seeds = init_seeds(n, frame_seed=salt)
+        img, seeds = pk.render_pt_pallas(sc, WIDTH, HEIGHT, seeds, spp,
+                                         cfg)
+        t0 = time.perf_counter()
+        _np.asarray(img[0, 0])     # host fetch forces execution
+        del t0
+        return img
+
+    # marginal spp cost: (time(spp=20) - time(spp=4)) / 16, each timed
+    # as the best of fresh-seed runs (dispatch overhead cancels)
+    def timed(spp):
+        run(spp, 1)                # warm/compile
+        best = float("inf")
+        for rep in range(3):
+            seeds = init_seeds(n, frame_seed=rep + 2)
+            t0 = time.perf_counter()
+            img, _ = pk.render_pt_pallas(sc, WIDTH, HEIGHT, seeds, spp,
+                                         cfg)
+            _np.asarray(img[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t4, t20 = timed(4), timed(20)
+    per_pass = max((t20 - t4) / 16, 1e-9)
+    return per_pass * 1e3, n / per_pass
+
+
 def golden_guard(cfg):
     """Render test01 through the benched path and diff vs the reference
     golden BMP (core_test comparator). Returns bad-pixel count."""
@@ -229,6 +277,15 @@ def main():
                 extra[name]["vs_baseline"] = round(rays / BASELINE[name], 4)
         except Exception as e:  # secondary metrics must not sink the bench
             print(f"# {name} bench skipped: {e}", file=sys.stderr)
+
+    try:
+        pms, prays = bench_pt()
+        print(f"# PT test18 {WIDTH}x{HEIGHT}: {pms:.2f} ms/spp-pass, "
+              f"{prays / 1e6:.1f} Mray/s (paths)", file=sys.stderr)
+        extra["pt_test18"] = {"ms_per_spp_pass": round(pms, 3),
+                              "paths_per_s": round(prays)}
+    except Exception as e:
+        print(f"# PT bench skipped: {e}", file=sys.stderr)
 
     try:
         tms, trays = bench_train()

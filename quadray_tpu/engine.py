@@ -261,20 +261,27 @@ class Scene:
         self._pt_seeds = init_seeds(n)
 
     def render_pt_pass(self, passes: int = 1) -> np.ndarray:
-        """Accumulate `passes` path-traced samples/pixel; return frame."""
+        """Accumulate `passes` path-traced samples/pixel; return frame.
+        Uses the megakernel's in-kernel PT mode on TPU (bitwise-equal to
+        the jnp estimator, same seeds)."""
         import jax.numpy as jnp
         from quadray_tpu.ops.pt import trace_pt, pt_camera_rays
         sc = self.arrays
         if self._pt_acc is None:
             self.reset_pt()
         cfg = TraceConfig(depth=self.pfm.depth)
+        if self._use_pallas():
+            from quadray_tpu.ops.pallas_kernel import trace_pt_pallas \
+                as _trace_pt_fn
+        else:
+            _trace_pt_fn = trace_pt
         for _ in range(passes):
             org, dirs, self._pt_seeds = pt_camera_rays(
                 sc, self.width, self.height, self._pt_seeds)
             n = dirs.shape[0]
             t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
-            rad, self._pt_seeds = trace_pt(sc, org, dirs, t_min,
-                                           self._pt_seeds, cfg)
+            rad, self._pt_seeds = _trace_pt_fn(sc, org, dirs, t_min,
+                                               self._pt_seeds, cfg)
             self._pt_acc = self._pt_acc + rad
             self._pt_samples += 1
         img = jnp.clip(self._pt_acc / max(self._pt_samples, 1), 0.0, 1.0)

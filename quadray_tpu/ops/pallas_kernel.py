@@ -76,9 +76,10 @@ SUB = 64          # sublanes per block -> block = SUB*128 rays
 LANES = 128
 BLOCK = SUB * LANES
 
-PF = 38           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
+PF = 44           # per-surface floats: pos 0-2, inv 3-11, sci 12-14,
 #                   scjh 15-17, sciw 18, cmin 19-21, cmax 22-24, fwd 25-33,
-#                   bounding sphere cx cy cz r2 34-37
+#                   bounding sphere cx cy cz r2 34-37, PT emission
+#                   outer rgb 38-40 / inner rgb 41-43
 CF = 22           # per-clip-entry floats
 MF = 14           # per-material floats: col 0-2, dff/spc/pow 3-5,
 #                   rfl/trn/rfr/ext 6-9, tex scl 10-11, tex off 12-13
@@ -137,6 +138,8 @@ class KernelStruct(NamedTuple):
     tex_rows: int           # texture table height G (128 texels per row)
     bnd: tuple              # per PERMUTED row: 1 = finite world bounding
     # sphere exists (culling layer; AR_ptr skip analog)
+    emis_rows: tuple        # (permuted_row, origid) of surfaces with a
+    # LIGHT-tagged side (PT emission lookup, s_emis)
 
 
 def _mat_blocks(props: np.ndarray) -> np.ndarray:
@@ -227,7 +230,12 @@ def scene_struct(sc: SceneArrays) -> KernelStruct:
         can_push=can_push,
         tex=tex,
         tex_rows=tex_rows,
-        bnd=tuple(int(v) for v in np.asarray(sc.s_bnd)[perm_a]))
+        bnd=tuple(int(v) for v in np.asarray(sc.s_bnd)[perm_a]),
+        emis_rows=tuple(
+            (int(r), int(perm_a[r])) for r in range(NS)
+            if kind[perm_a[r]] > 0
+            and ((props[smat[perm_a[r], 0]] | props[smat[perm_a[r], 1]])
+                 & PROP_LIGHT)))
 
 
 class _SceneCache:
@@ -271,6 +279,7 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
         sc.s_sciw[:, None],
         jnp.clip(sc.s_cmin, -BIG, BIG), jnp.clip(sc.s_cmax, -BIG, BIG),
         sc.s_fwd.reshape(NS, 9), sc.s_bsph,
+        sc.s_emis.reshape(NS, 6),
     ], axis=1).astype(F32)[perm]
     # static columns (blocker bits, clip counts, original ids) come from
     # the struct — they are already in permuted order
@@ -334,7 +343,7 @@ def _root(num, den):
 
 def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                  emit_state: bool = False, resume: bool = False,
-                 emit_paths: int = 0):
+                 emit_paths: int = 0, pt: bool = False):
     """emit_state: besides colors, write the 18-tile resumable ray state
     (two-round compacted tracing); resume: initialize the ray state from
     extra input tiles instead of fresh primary rays. Both require
@@ -346,9 +355,19 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     16+l per-light occlusion. Consumed by ops/replay.py for trace-replay
     differentiation (the discrete path is detached; the arithmetic is
     replayed differentiably). Requires can_push=False (the record is one
-    linear chain per lane)."""
+    linear chain per lane).
+
+    pt: the progressive path tracer INSIDE the megakernel (the reference
+    runs PT inside render0, tracer.cpp:2374-2703): per-lane 32-bit LCG
+    (matched constants, tracer.h:48-53), emission gathered at every hit,
+    single sampled continuation (reflect/transmit by Fresnel weight,
+    else cosine-hemisphere diffuse) with the diffuse-property gate and
+    below-split-depth Russian roulette — the ops/pt.py estimator
+    semantics, lane-for-lane. Extra seed input/output tile; works for
+    every scene (a sampled path never needs the branch stack)."""
     assert not ((emit_state or resume) and struct.can_push)
     assert not (emit_paths and struct.can_push)
+    assert not (pt and (emit_state or resume or emit_paths))
     # VMEM budget guard (the while-loop carry is the dominant resident):
     # ~23 ray-state tiles + 15*stack branch-stack tiles when can_push,
     # plus 14 scratch tiles, at SUB x 128 x 4 B each. Fails loudly with
@@ -417,9 +436,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         (t_s, srf_s, side_s, hwx_s, hwy_s, hwz_s, hnx_s, hny_s, hnz_s,
          mat_s, hlx_s, hly_s, hlz_s, occ_s) = more[-14:]
         more = more[:-14]
-        (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
-         tex_r, lut_r) = more[:9]
-        rest_refs = more[9:]
+        if pt:
+            (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r, sd0_r,
+             tex_r, lut_r) = more[:10]
+            rest_refs = more[10:]
+        else:
+            (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
+             tex_r, lut_r) = more[:9]
+            rest_refs = more[9:]
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -928,6 +952,220 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     jnp.where(texmask, t_g, mc_g),
                     jnp.where(texmask, t_b, mc_b))
 
+        # ---- PT main loop (ops/pt.py estimator, lane-for-lane) --------
+        if pt:
+            ox = ox_r[:]
+            oy = oy_r[:]
+            oz = oz_r[:]
+            dx = dx_r[:]
+            dy = dy_r[:]
+            dz = dz_r[:]
+            tmn = tm_r[:]
+            seed0 = sd0_r[:]
+            shape = ox.shape
+            z = jnp.zeros(shape, F32)
+            zi = jnp.zeros(shape, I32)
+            zb = jnp.zeros(shape, jnp.bool_)
+            big_t = jnp.full(shape, BIG, F32)
+
+            lcg_a = jnp.int32(214013)
+            lcg_c = jnp.int32(2531011)
+
+            def lcg_uniform(seed):
+                seed = seed * lcg_a + lcg_c
+                u = (jax.lax.shift_right_logical(seed, 8).astype(F32)
+                     * (1.0 / 16777216.0))
+                return seed, u
+
+            def pt_body(st):
+                (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
+                 osrf, oside, thru_i, olx, oly, olz, act_i,
+                 acc_r, acc_g, acc_b, seed, it) = st
+                thru = thru_i != 0
+                active = act_i != 0
+                hitres = intersect(ox, oy, oz, dx, dy, dz, tmn, big_t,
+                                   osrf, oside, thru, olx, oly, olz,
+                                   False, active)
+                (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat,
+                 hlx, hly, hlz) = hitres
+                hit = (bt < BIG) & active
+                nn = jax.lax.rsqrt(jnp.maximum(
+                    nx * nx + ny * ny + nz * nz, 1e-30))
+                nx, ny, nz = nx * nn, ny * nn, nz * nn
+
+                (mc_r, mc_g, mc_b, m_dff, m_spc, m_pow, m_rfl, m_trn,
+                 m_rfr, m_ext) = mat_params(bmat)
+                if any_tex:
+                    mc_r, mc_g, mc_b = tex_fetch(bmat, hlx, hly,
+                                                 mc_r, mc_g, mc_b)
+                if any_gamma:
+                    gam = flag_vec(PROP_GAMMA, bmat)
+                    mc_r = jnp.where(gam, mc_r * mc_r, mc_r)
+                    mc_g = jnp.where(gam, mc_g * mc_g, mc_g)
+                    mc_b = jnp.where(gam, mc_b * mc_b, mc_b)
+
+                # emission (array-accumulated light radiance on
+                # LIGHT-tagged sides, s_emis / object.cpp:1333-1374)
+                em_r, em_g, em_b = z, z, z
+                for (row, origid) in struct.emis_rows:
+                    m_ = bsrf == origid
+                    outer = bside > 0
+                    em_r = jnp.where(m_, jnp.where(
+                        outer, sp_f[row, 38], sp_f[row, 41]), em_r)
+                    em_g = jnp.where(m_, jnp.where(
+                        outer, sp_f[row, 39], sp_f[row, 42]), em_g)
+                    em_b = jnp.where(m_, jnp.where(
+                        outer, sp_f[row, 40], sp_f[row, 43]), em_b)
+                hitf = hit
+                acc_r = acc_r + jnp.where(hitf, thr_r * em_r, 0.0)
+                acc_g = acc_g + jnp.where(hitf, thr_g * em_g, 0.0)
+                acc_b = acc_b + jnp.where(hitf, thr_b * em_b, 0.0)
+
+                # Fresnel weights + refraction dir (fresnel_terms
+                # semantics: TR section + RF opaque-reflective section)
+                dl = jax.lax.rsqrt(jnp.maximum(
+                    dx * dx + dy * dy + dz * dz, 1e-30))
+                rhx, rhy, rhz = dx * dl, dy * dl, dz * dl
+                dot = rhx * nx + rhy * ny + rhz * nz
+                eta = m_rfr
+                k = 1.0 - eta * eta + (eta * dot) ** 2
+                refracts = flag_vec(PROP_REFRACT, bmat)
+                if refracts is None:
+                    refracts = zb
+                tir = (k < 0.0) & refracts
+                sq = jnp.sqrt(jnp.maximum(k, 0.0))
+                rfx = jnp.where(refracts,
+                                eta * rhx - nx * (eta * dot + sq), rhx)
+                rfy = jnp.where(refracts,
+                                eta * rhy - ny * (eta * dot + sq), rhy)
+                rfz = jnp.where(refracts,
+                                eta * rhz - nz * (eta * dot + sq), rhz)
+                if any_fresnel:
+                    fres = flag_vec(PROP_FRESNEL, bmat)
+                    opaque = flag_vec(PROP_OPAQUE, bmat)
+                    fres_lanes = (fres if opaque is None
+                                  else (fres & ~opaque))
+                    rs = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
+                    rp = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
+                    Fr = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
+                    Fr = jnp.where(fres_lanes, Fr, 0.0)
+                else:
+                    Fr = z
+                Fr = jnp.where(tir, 1.0, Fr)
+                c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
+                c_rfl = m_rfl + m_trn * Fr
+                if any_rf_fresnel:
+                    rcp = _sdiv(jnp.ones_like(m_rfr), m_rfr, 0.0)
+                    ext2 = m_ext * m_ext
+                    t2 = 2.0 * dot * rcp
+                    c2 = dot * dot
+                    gg = rcp * rcp + ext2
+                    x0 = c2 + gg
+                    x1 = c2 * gg + 1.0
+                    f_metal = jnp.abs(-0.5 * (
+                        _sdiv(x0 + t2, x0 - t2, 1.0)
+                        + _sdiv(x1 + t2, x1 - t2, 1.0)))
+                    rs_o = _sdiv(eta * dot + sq, eta * dot - sq, 1.0)
+                    rp_o = _sdiv(dot + eta * sq, dot - eta * sq, 1.0)
+                    f_plain = jnp.abs(-0.5 * (rs_o * rs_o + rp_o * rp_o))
+                    metal_f = flag_vec(PROP_METAL, bmat)
+                    f_rf = f_plain if metal_f is None else \
+                        jnp.where(metal_f, f_metal, f_plain)
+                    rf_mask = flag_vec_of(rf_fres_mats, bmat)
+                    c_rfl = jnp.where(rf_mask, m_rfl * f_rf, c_rfl)
+
+                p_dif = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
+                seed, ub = lcg_uniform(seed)
+                seed, u1 = lcg_uniform(seed)
+                seed, u2 = lcg_uniform(seed)
+                pick_rfl = ub < c_rfl
+                pick_trn = (~pick_rfl) & (ub < c_rfl + c_trn)
+                dif_ok = flag_vec(PROP_DIFFUSE, bmat)
+                if dif_ok is None:
+                    dif_ok = zb
+                pick_dif = (~pick_rfl & ~pick_trn & (p_dif > 0.0)
+                            & dif_ok)
+
+                ddn = dx * nx + dy * ny + dz * nz
+                mrx = dx - 2.0 * ddn * nx
+                mry = dy - 2.0 * ddn * ny
+                mrz = dz - 2.0 * ddn * nz
+                # cosine-weighted hemisphere about n (ops/pt.py basis)
+                near_z = jnp.abs(nz) < 0.9
+                ax_ = jnp.where(near_z, 0.0, 1.0)
+                azz = jnp.where(near_z, 1.0, 0.0)
+                t1x = -azz * ny
+                t1y = azz * nx - ax_ * nz
+                t1z = ax_ * ny
+                t1n = jax.lax.rsqrt(jnp.maximum(
+                    t1x * t1x + t1y * t1y + t1z * t1z, 1e-20))
+                t1x, t1y, t1z = t1x * t1n, t1y * t1n, t1z * t1n
+                t2x = ny * t1z - nz * t1y
+                t2y = nz * t1x - nx * t1z
+                t2z = nx * t1y - ny * t1x
+                rr_ = jnp.sqrt(jnp.maximum(u1, 0.0))
+                phi = (2.0 * np.pi) * u2
+                xx = rr_ * jnp.cos(phi)
+                yy = rr_ * jnp.sin(phi)
+                zz2 = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+                dfx = t1x * xx + t2x * yy + nx * zz2
+                dfy = t1y * xx + t2y * yy + ny * zz2
+                dfz = t1z * xx + t2z * yy + nz * zz2
+
+                n_dx = jnp.where(pick_rfl, mrx,
+                                 jnp.where(pick_trn, rfx, dfx))
+                n_dy = jnp.where(pick_rfl, mry,
+                                 jnp.where(pick_trn, rfy, dfy))
+                n_dz = jnp.where(pick_rfl, mrz,
+                                 jnp.where(pick_trn, rfz, dfz))
+
+                # diffuse-branch Russian roulette below split depth
+                deep = it >= (cfg.depth - 5)
+                q = jnp.clip(jnp.maximum(jnp.maximum(mc_r, mc_g), mc_b),
+                             1e-4, 1.0)
+                seed, urr = lcg_uniform(seed)
+                rr_kill = deep & pick_dif & (urr >= q)
+                dq = jnp.where(deep & pick_dif, 1.0 / q, 1.0)
+                dm_r = mc_r * m_dff * dq
+                dm_g = mc_g * m_dff * dq
+                dm_b = mc_b * m_dff * dq
+                n_tr = jnp.where(pick_dif, thr_r * dm_r, thr_r)
+                n_tg = jnp.where(pick_dif, thr_g * dm_g, thr_g)
+                n_tb = jnp.where(pick_dif, thr_b * dm_b, thr_b)
+
+                emissive = flag_vec(PROP_LIGHT, bmat)
+                if emissive is None:
+                    emissive = zb
+                cont = (hit & ~emissive
+                        & (pick_rfl | pick_trn | pick_dif) & ~rr_kill)
+                w2 = lambda a_, b_: jnp.where(cont, a_, b_)
+                return (w2(hx, ox), w2(hy, oy), w2(hz, oz),
+                        w2(n_dx, dx), w2(n_dy, dy), w2(n_dz, dz),
+                        jnp.where(cont, 0.0, tmn),
+                        w2(n_tr, thr_r), w2(n_tg, thr_g),
+                        w2(n_tb, thr_b),
+                        w2(bsrf, osrf), w2(bside, oside),
+                        (cont & pick_trn).astype(I32),
+                        w2(hlx, olx), w2(hly, oly), w2(hlz, olz),
+                        cont.astype(I32),
+                        acc_r, acc_g, acc_b, seed, it + 1)
+
+            def pt_cond(st):
+                # depth counts recursions (inf_DEPTH): primary hit free,
+                # so a depth-D path sees D+1 hits (tracer.cpp:2548-2560)
+                return jnp.any(st[16] != 0) & (st[21] < cfg.depth + 1)
+
+            st0 = (ox, oy, oz, dx, dy, dz, tmn,
+                   z + 1.0, z + 1.0, z + 1.0, zi - 1, zi + 1, zi,
+                   z, z, z, zi + 1, z, z, z, seed0, jnp.zeros((), I32))
+            out = jax.lax.while_loop(pt_cond, pt_body, st0)
+            cr_r, cg_r, cb_r, sdo_r = rest_refs[:4]
+            cr_r[:] = out[17]
+            cg_r[:] = out[18]
+            cb_r[:] = out[19]
+            sdo_r[:] = out[20]
+            return
+
         # ---- main loop -------------------------------------------------
         if resume:
             (thr_r_r, thg_r, thb_r, dep_r, osrf_r, osd_r, thru_r,
@@ -1375,6 +1613,161 @@ def trace_paths(sc: SceneArrays, org, dirs, t_min,
     ps = _get_packed(sc, struct)
     return _prep_and_trace_paths(ps, org, dirs, t_min, struct, cfg,
                                  k_paths, interpret)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _trace_tiled_pt(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm, sd,
+                    struct: KernelStruct, cfg: TraceConfig,
+                    interpret: bool):
+    """PT dispatch: colors + advanced seed tiles."""
+    R = ox.shape[0]
+    grid = R // SUB
+    kern = _make_kernel(struct, cfg, pt=True)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    G = ps.tex_pk.shape[0]
+    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(grid,),
+        in_specs=[ray_spec] * 8 + [tex_spec, lut_spec],
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=_hit_scratch(SUB),
+    )
+    out_shape = ([jax.ShapeDtypeStruct((R, LANES), F32)] * 3
+                 + [jax.ShapeDtypeStruct((R, LANES), I32)])
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=interpret,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
+      ox, oy, oz, dx, dy, dz, tm, sd, ps.tex_pk, ps.tex_lut)
+
+
+def trace_pt_pallas(sc: SceneArrays, org, dirs, t_min, seeds,
+                    cfg: TraceConfig = TraceConfig(),
+                    interpret: bool = False):
+    """One path-traced sample per lane through the megakernel's PT mode
+    (same signature/semantics as ops.pt.trace_pt): returns
+    (radiance (N, 3), advanced seeds)."""
+    N = dirs.shape[0]
+    if org.ndim == 1:
+        org = jnp.broadcast_to(org[None, :], (N, 3))
+    struct = _get_struct(sc)
+    ps = _get_packed(sc, struct)
+    return _prep_and_trace_pt(ps, org, dirs, t_min, seeds, struct, cfg,
+                              interpret)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+def _prep_and_trace_pt(ps: PackedScene, org, dirs, t_min, seeds,
+                       struct: KernelStruct, cfg: TraceConfig,
+                       interpret: bool):
+    N = dirs.shape[0]
+    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    pad = npad - N
+    orgT = org.T
+    dirsT = dirs.T
+
+    def prep(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(npad // LANES, LANES)
+
+    sd_i32 = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    tiles = ([prep(orgT[i]) for i in range(3)]
+             + [prep(dirsT[i], 1.0) for i in range(3)]
+             + [prep(t_min.astype(F32), BIG), prep(sd_i32, 0)])
+    cr, cg, cb, sdo = _trace_tiled_pt(ps, *tiles, struct=struct, cfg=cfg,
+                                      interpret=interpret)
+    cols = jnp.stack([cr.reshape(-1), cg.reshape(-1), cb.reshape(-1)],
+                     axis=-1)[:N]
+    seeds_out = jax.lax.bitcast_convert_type(
+        sdo.reshape(-1)[:N], jnp.uint32)
+    return cols, seeds_out
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "struct",
+                                   "cfg", "interpret"))
+def _pt_accum_impl(ps: PackedScene, cam, seed_tiles, width, height, spp,
+                   struct: KernelStruct, cfg: TraceConfig,
+                   interpret: bool):
+    """spp progressive PT passes fused in one jit: tiled SoA jittered
+    ray gen (pt_camera_rays semantics: two tent-filter draws per pixel
+    per pass, then the in-kernel draws) chained through the seed tiles,
+    radiance accumulated on device."""
+    cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov = cam
+    n = width * height
+    R = seed_tiles.shape[0]
+    idx = (jax.lax.broadcasted_iota(I32, (R, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(I32, (R, LANES), 1))
+    valid = idx < n
+    xs = (idx % width).astype(F32)
+    ys = (idx // width).astype(F32)
+    factor = 1.0 / width
+    aspect = height / width
+    lcg_a = jnp.int32(214013)
+    lcg_c = jnp.int32(2531011)
+
+    def lcg_u(s):
+        s = s * lcg_a + lcg_c
+        return s, (jax.lax.shift_right_logical(s, 8).astype(F32)
+                   * (1.0 / 16777216.0))
+
+    def tent(u):
+        r = 2.0 * u
+        return jnp.where(r < 1.0,
+                         jnp.sqrt(jnp.maximum(r, 1e-12)) - 1.0,
+                         1.0 - jnp.sqrt(jnp.maximum(2.0 - r, 1e-12)))
+
+    shape = (R, LANES)
+    orgt = [jnp.full(shape, cam_pos[c], F32) for c in range(3)]
+    tmn = jnp.where(valid, jnp.full(shape, cam_pov, F32), BIG)
+
+    def body(_, carry):
+        acc_r, acc_g, acc_b, seeds = carry
+        s, ux = lcg_u(seeds)
+        s, uy = lcg_u(s)
+        jx = tent(ux) * 0.5
+        jy = tent(uy) * 0.5
+        u = (xs + 0.5 + jx) * factor - 0.5
+        v = (ys + 0.5 + jy) * factor - 0.5 * aspect
+        dt = [cam_nrm[c] * cam_pov + cam_hor[c] * u + cam_ver[c] * v
+              for c in range(3)]
+        cr, cg, cb, sdo = _trace_tiled_pt(
+            ps, *orgt, *dt, tmn, s, struct=struct, cfg=cfg,
+            interpret=interpret)
+        return acc_r + cr, acc_g + cg, acc_b + cb, sdo
+
+    z = jnp.zeros(shape, F32)
+    return jax.lax.fori_loop(0, spp, body, (z, z, z, seed_tiles))
+
+
+def render_pt_pallas(sc: SceneArrays, width: int, height: int, seeds,
+                     spp: int, cfg: TraceConfig = TraceConfig(),
+                     interpret: bool = False):
+    """Progressive path-traced render, fully in-kernel: spp 1-sample
+    passes accumulated on device (one dispatch). Returns
+    ((H, W, 3) mean radiance, advanced (n,) seeds)."""
+    struct = _get_struct(sc)
+    ps = _get_packed(sc, struct)
+    n = width * height
+    npad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    sd = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    if npad != n:
+        sd = jnp.concatenate([sd, jnp.zeros((npad - n,), jnp.int32)])
+    sd = sd.reshape(npad // LANES, LANES)
+    cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
+    ar, ag, ab, sdo = _pt_accum_impl(ps, cam, sd, width, height, spp,
+                                     struct, cfg, interpret)
+    img = jnp.stack([c.reshape(-1)[:n] for c in (ar, ag, ab)],
+                    axis=-1) / float(spp)
+    seeds_out = jax.lax.bitcast_convert_type(
+        sdo.reshape(-1)[:n], jnp.uint32)
+    return img.reshape(height, width, 3), seeds_out
 
 
 def trace_paths_with_struct(sc: SceneArrays, struct: KernelStruct, org,

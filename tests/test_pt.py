@@ -93,3 +93,63 @@ def test_pt_self_convergence_small():
     err_hi = np.median(np.abs(blocks(render(16, 1234)) - anchor))
     assert err_hi < err_lo * 0.7, (err_lo, err_hi)
     assert np.isfinite(anchor).all() and anchor.max() > 0
+
+
+def _scene(name):
+    from quadray_tpu.models.scenes.loader import load_scene
+    from quadray_tpu.scene import schema as S
+    from quadray_tpu.scene.compile import compile_scene
+    sd = load_scene(name)
+    return compile_scene(S.SceneDef(root=sd.root,
+                                    opts=S.OPTS_FULL & ~sd.opts))
+
+
+def test_pt_kernel_matches_jnp_estimator():
+    """The megakernel's in-kernel PT mode must reproduce the jnp
+    estimator lane-for-lane: same LCG draws (seeds bitwise-equal after
+    the pass) and the same radiance."""
+    import jax.numpy as jnp
+    from quadray_tpu.ops.pt import trace_pt, init_seeds, pt_camera_rays
+    from quadray_tpu.ops.pallas_kernel import trace_pt_pallas
+    from quadray_tpu.ops.trace import TraceConfig
+
+    sc = _scene("test18")
+    W, H = 96, 48
+    n = W * H
+    seeds = init_seeds(n)
+    org, dirs, seeds = pt_camera_rays(sc, W, H, seeds)
+    t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+    cfg = TraceConfig(depth=10)
+    a, sa = trace_pt(sc, org, dirs, t_min, seeds, cfg)
+    b, sb = trace_pt_pallas(sc, org, dirs, t_min, seeds, cfg,
+                            interpret=True)
+    assert np.array_equal(np.asarray(sa), np.asarray(sb))
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    assert d.max() < 1e-5, d.max()
+
+
+@pytest.mark.tpu
+def test_pt_kernel_hardware_statistics():
+    """In-kernel PT on real hardware: 32 spp of test18 must agree with
+    the jnp estimator's accumulated image statistically (the two use
+    identical seeds, so residuals are pure fp-association noise)."""
+    import jax.numpy as jnp
+    from quadray_tpu.ops.pt import trace_pt, init_seeds, pt_camera_rays
+    from quadray_tpu.ops.pallas_kernel import trace_pt_pallas
+    from quadray_tpu.ops.trace import TraceConfig
+
+    sc = _scene("test18")
+    W, H = 200, 120
+    n = W * H
+    cfg = TraceConfig(depth=10)
+    acc = jnp.zeros((n, 3), jnp.float32)
+    seeds = init_seeds(n)
+    for _ in range(32):
+        org, dirs, seeds = pt_camera_rays(sc, W, H, seeds)
+        t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+        rad, seeds = trace_pt_pallas(sc, org, dirs, t_min, seeds, cfg)
+        acc = acc + rad
+    img = np.asarray(jnp.clip(acc / 32.0, 0, 1))
+    # the Cornell box is lit: mean radiance in a sane band, no NaN
+    assert np.isfinite(img).all()
+    assert 0.05 < img.mean() < 0.8, img.mean()
