@@ -72,7 +72,11 @@ F32 = jnp.float32
 I32 = jnp.int32
 BIG = 1e30
 
-SUB = 64          # sublanes per block -> block = SUB*128 rays
+SUB = 64          # default sublanes per block -> block = SUB*128 rays
+#                   (TraceConfig.sub overrides per dispatch: 64 = a
+#                   64x128-px screen window amortizing per-surface
+#                   scalar work over 8192 rays; 8 = 32x32-px windows
+#                   with tighter bundles but 8x the scalar overhead)
 LANES = 128
 BLOCK = SUB * LANES
 
@@ -105,6 +109,12 @@ class PackedScene(NamedTuple):
     misc: jnp.ndarray    # (8,) f32: amb_rgb, use_gamma, use_fresnel, pad
     tex_pk: jnp.ndarray  # (G, 128) i32 texture atlas, u8 rgb packed
     tex_lut: jnp.ndarray  # (2, 128) f32 u8 -> f32 texel decode LUT
+    bsph_t: jnp.ndarray  # (4, NSR, 128) f32 transposed bounding-sphere
+    #                      table (cx/cy/cz/rs per 128-surface word, rs =
+    #                      +inf for unbounded rows): feeds the kernel's
+    #                      VECTORIZED per-call reach mask (one VPU pass
+    #                      over all surfaces instead of per-surface
+    #                      scalar cone math)
 
 
 class Group(NamedTuple):
@@ -316,8 +326,21 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
     pk = (k8[:, 0] << 16) | (k8[:, 1] << 8) | k8[:, 2]
     pad = G * LANES - pk.shape[0]
     tex_pk = jnp.concatenate([pk, jnp.zeros((pad,), I32)]).reshape(G, LANES)
+    # transposed sphere table for the vectorized reach mask: component
+    # rows per 128-surface word; rs pre-sqrt'd; unbounded rows get
+    # rs = +inf so every comparison degrades to "reach"
+    NSR = -(-NS // LANES)
+    npad = NSR * LANES - NS
+    bperm = sc.s_bsph[perm]
+    bnd_p = sc.s_bnd[perm]
+    rs = jnp.where(bnd_p > 0, jnp.sqrt(bperm[:, 3]), jnp.inf)
+    comp = jnp.stack([bperm[:, 0], bperm[:, 1], bperm[:, 2], rs])  # (4,NS)
+    if npad:
+        comp = jnp.concatenate(
+            [comp, jnp.zeros((4, npad), F32)], axis=1)
+    bsph_t = comp.reshape(4, NSR, LANES)
     return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
-                       tex_pk, jnp.asarray(_TEX_LUT))
+                       tex_pk, jnp.asarray(_TEX_LUT), bsph_t)
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
@@ -343,7 +366,8 @@ def _root(num, den):
 
 def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                  emit_state: bool = False, resume: bool = False,
-                 emit_paths: int = 0, pt: bool = False):
+                 emit_paths: int = 0, pt: bool = False,
+                 use_cand: int = 0):
     """emit_state: besides colors, write the 18-tile resumable ray state
     (two-round compacted tracing); resume: initialize the ray state from
     extra input tiles instead of fresh primary rays. Both require
@@ -368,21 +392,32 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     assert not ((emit_state or resume) and struct.can_push)
     assert not (emit_paths and struct.can_push)
     assert not (pt and (emit_state or resume or emit_paths))
+    # path records pack per-light occlusion into bits 16+l; more lights
+    # would shift past bit 31 and corrupt the surface-id/side/kind bits
+    # ops/replay.py consumes
+    assert not (emit_paths and struct.nl > 16), (
+        f"emit_paths supports at most 16 lights, scene has {struct.nl}")
     # VMEM budget guard (the while-loop carry is the dominant resident):
     # ~23 ray-state tiles + 15*stack branch-stack tiles when can_push,
     # plus 14 scratch tiles, at SUB x 128 x 4 B each. Fails loudly with
     # the knob to turn instead of a late Mosaic allocation error.
     tiles = 23 + 14 + (15 * cfg.stack if struct.can_push else 0)
-    vmem_mb = tiles * SUB * LANES * 4 / 2**20
+    vmem_mb = tiles * cfg.sub * LANES * 4 / 2**20
     assert vmem_mb < 96, (
         f"kernel carry needs ~{vmem_mb:.0f} MiB VMEM "
         f"(stack={cfg.stack}, can_push={struct.can_push}); lower "
-        "TraceConfig.stack or reduce SUB")
+        "TraceConfig.stack or TraceConfig.sub")
     D = cfg.stack
     NC = struct.nc
     NM = struct.nm
     NL = struct.nl
     props_t = struct.props
+    cull_on = cfg.cull and any(struct.bnd)
+    NSP = struct.ns
+    NSR = -(-NSP // LANES)   # 128-surface words in the reach vector
+    NW = -(-NSP // 32)       # 32-bit umask words
+    NG = len(struct.groups)
+    assert not (use_cand and resume)
 
     def mats_with(bit):
         return [m for m in range(NM) if props_t[m] & bit]
@@ -421,8 +456,15 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     any_tex = bool(struct.tex)
 
     def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc, *more):
+        if use_cand:
+            # 7th scalar-prefetch operand: per-block candidate table
+            # (use_cand rows of [NG+1 group boundaries | compacted
+            # permuted surface indices]); rows repeat with period
+            # use_cand so multi-frame dispatches share one frame's table
+            cand_ref = more[0]
+            more = more[1:]
         if resume:
-            # 7th scalar-prefetch operand: the active-block list (used
+            # next scalar-prefetch operand: the active-block list (used
             # only by the index_maps; ignored here)
             more = more[1:]
         # nearest-hit/occlusion state lives in scratch VMEM refs mutated
@@ -432,6 +474,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # lax.cond branches (13 tiles/surface), erasing the cull win
         if emit_paths:
             rec_s = more[-1]
+            more = more[:-1]
+        if cull_on:
+            # NW-word SMEM bitmask: the per-call vectorized reach mask,
+            # consumed by per-surface scalar bit tests
+            umask_s = more[-1]
             more = more[:-1]
         (t_s, srf_s, side_s, hwx_s, hwy_s, hwz_s, hnx_s, hny_s, hnz_s,
          mat_s, hlx_s, hly_s, hlz_s, occ_s) = more[-14:]
@@ -444,6 +491,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tm_r,
              tex_r, lut_r) = more[:9]
             rest_refs = more[9:]
+        if cull_on:
+            bsph_r = rest_refs[0]
+            rest_refs = rest_refs[1:]
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -503,7 +553,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # ---- per-class surface bodies --------------------------------
         def make_body(grp: Group, shadow, rays):
             (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-             olx, oly, olz, wmask, bstats) = rays
+             olx, oly, olz, wmask) = rays
 
             def body(s):
                 g = lambda k: sp_f[s, k]
@@ -740,71 +790,30 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                        sel_ab(ha[2], hb[2]))
                 return
 
-            n_grp = grp.n_block if shadow else grp.count
-            if not (cfg.cull and any(
-                    struct.bnd[grp.start + i] for i in range(n_grp))):
-                return body
-
-            def guarded(s):
-                """Bounding-sphere whole-block skip (the AR_ptr sub-list
-                skip, tracer.cpp:3953-4056, at on-chip block granularity
-                instead of packet granularity): the block's rays are
-                bounded ONCE per intersect call by an origin box plus a
-                direction cone (nearest-hit) or an origin-to-endpoint
-                capsule (shadows), so each surface's reach test is pure
-                SCALAR math — no per-ray vector work, no cross-lane
-                reduction. pl.when skips the solver/clip/commit body;
-                with state in scratch refs a skip carries nothing.
-                Every comparison is written so NaN/inf degrades to
-                "reach" (never to a wrong skip)."""
-                static_s = isinstance(s, int)
-                if static_s and not struct.bnd[s]:
-                    body(s)   # unbounded: never culled
-                    return
-                cx, cy, cz = sp_f[s, 34], sp_f[s, 35], sp_f[s, 36]
-                rs = jnp.sqrt(sp_f[s, 37])
-                if shadow:
-                    (c0x, c0y, c0z, ux, uy, uz, uu, brad) = bstats
-                    lcx = cx - c0x
-                    lcy = cy - c0y
-                    lcz = cz - c0z
-                    tp = jnp.clip((lcx * ux + lcy * uy + lcz * uz)
-                                  / jnp.maximum(uu, 1e-30), 0.0, 1.0)
-                    qx = lcx - tp * ux
-                    qy = lcy - tp * uy
-                    qz = lcz - tp * uz
-                    dist2 = qx * qx + qy * qy + qz * qz
-                    re = rs + brad
-                    skip = dist2 > re * re
-                else:
-                    (c0x, c0y, c0z, bax, bay, baz, bcos, bsin,
-                     br0) = bstats
-                    lcx = cx - c0x
-                    lcy = cy - c0y
-                    lcz = cz - c0z
-                    d = lcx * bax + lcy * bay + lcz * baz
-                    dist2 = lcx * lcx + lcy * lcy + lcz * lcz
-                    perp = jnp.sqrt(jnp.maximum(dist2 - d * d, 0.0))
-                    # signed distance to the cone boundary in the
-                    # (axial, radial) plane; negative = inside cone
-                    e = perp * bcos - d * bsin
-                    skip = e > rs + br0
-                pred = ~skip
-                if not static_s:
-                    pred = pred | (sp_i[s, SI_BND] == 0)
-                pl.when(pred)(lambda: body(s))
-
-            return guarded
+            return body
 
         # ---- intersect: nearest hit / shadow any-hit over all groups --
         def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
-                      osrf, oside, thru, olx, oly, olz, shadow, wmask):
-            if cfg.cull and any(struct.bnd):
+                      osrf, oside, thru, olx, oly, olz, shadow, wmask,
+                      primary=False):
+            # primary+candidates: the peeled first segment loops over
+            # the precomputed per-block candidate list (the tilebuffer
+            # per-tile object list analog, engine.cpp:3129-3253) — no
+            # runtime guard needed at all. Otherwise (secondary
+            # segments, shadow rays) the reach of ALL surfaces is
+            # evaluated in ONE vectorized pass against the transposed
+            # sphere table and packed into an SMEM bitmask; per-surface
+            # guards are then a scalar bit test.
+            cand_mode = bool(use_cand) and primary and not shadow
+            guard_on = cull_on and not cand_mode
+            if guard_on:
                 # per-call ray-bundle bound (the tiling() projection
                 # analog, engine.cpp:962-1107): origin box + direction
                 # cone (nearest-hit) / endpoint capsule (shadow rays
                 # all end at the light: tmx=1). Inactive lanes are
-                # excluded; all-inactive blocks degrade to "reach".
+                # excluded; all-inactive blocks degrade to "reach";
+                # every comparison is written so NaN/inf degrades to
+                # "reach" (never to a wrong skip).
                 def mn(a):
                     return jnp.min(jnp.where(wmask, a, BIG))
 
@@ -820,6 +829,13 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 r0 = 0.5 * jnp.sqrt((oxM - oxm) ** 2 + (oyM - oym) ** 2
                                     + (ozM - ozm) ** 2)
                 r0 = r0 * 1.0005 + 1e-4
+                scx = bsph_r[0]           # (NSR, 128) sphere centers
+                scy = bsph_r[1]
+                scz = bsph_r[2]
+                srs = bsph_r[3]           # radius, +inf when unbounded
+                lcx = scx - c0x
+                lcy = scy - c0y
+                lcz = scz - c0z
                 if shadow:
                     exm, exM = mn(ox + dx), mx(ox + dx)
                     eym, eyM = mn(oy + dy), mx(oy + dy)
@@ -833,7 +849,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     ux, uy, uz = c1x - c0x, c1y - c0y, c1z - c0z
                     uu = ux * ux + uy * uy + uz * uz
                     brad = jnp.maximum(r0, r1 * 1.0005 + 1e-4)
-                    bstats = (c0x, c0y, c0z, ux, uy, uz, uu, brad)
+                    tp = jnp.clip((lcx * ux + lcy * uy + lcz * uz)
+                                  / jnp.maximum(uu, 1e-30), 0.0, 1.0)
+                    qx = lcx - tp * ux
+                    qy = lcy - tp * uy
+                    qz = lcz - tp * uz
+                    dist2 = qx * qx + qy * qy + qz * qz
+                    re = srs + brad
+                    reach = ~(dist2 > re * re)
                 else:
                     ilen = jax.lax.rsqrt(jnp.maximum(
                         dx * dx + dy * dy + dz * dz, 1e-30))
@@ -850,12 +873,27 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                         wmask, dhx * bax + dhy * bay + dhz * baz, 1.0))
                     cosw = jnp.clip(cosmin - 1e-4, -1.0, 1.0)
                     sinw = jnp.sqrt(jnp.maximum(1.0 - cosw * cosw, 0.0))
-                    bstats = (c0x, c0y, c0z, bax, bay, baz, cosw, sinw,
-                              r0)
-            else:
-                bstats = None
+                    d_ax = lcx * bax + lcy * bay + lcz * baz
+                    dist2 = lcx * lcx + lcy * lcy + lcz * lcz
+                    perp = jnp.sqrt(jnp.maximum(
+                        dist2 - d_ax * d_ax, 0.0))
+                    # signed distance to the cone boundary in the
+                    # (axial, radial) plane; negative = inside cone
+                    e = perp * cosw - d_ax * sinw
+                    reach = ~(e > srs + r0)
+                # pack reach bits into NW 32-bit SMEM words
+                w_of = (jax.lax.broadcasted_iota(
+                    I32, (NSR, LANES), 0) * (LANES // 32)
+                    + jax.lax.broadcasted_iota(
+                        I32, (NSR, LANES), 1) // 32)
+                b_of = jax.lax.broadcasted_iota(
+                    I32, (NSR, LANES), 1) % 32
+                val = reach.astype(I32) << b_of
+                for w in range(NW):
+                    umask_s[w] = jnp.sum(jnp.where(w_of == w, val, 0))
+
             rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
-                    olx, oly, olz, wmask, bstats)
+                    olx, oly, olz, wmask)
             zs = jnp.zeros(ox.shape, F32)
             zis = jnp.zeros(ox.shape, I32)
             if shadow:
@@ -868,19 +906,43 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                            hlx_s, hly_s, hlz_s):
                     r_[:] = zs
                 mat_s[:] = zis
-            for grp in struct.groups:
+
+            def bit_ok(s):
+                return ((umask_s[s // 32] >> (s % 32)) & 1) != 0
+
+            if cand_mode:
+                ib = pl.program_id(0) % use_cand
+            for gi, grp in enumerate(struct.groups):
                 n = grp.n_block if shadow else grp.count
                 if n == 0:
                     continue
                 body = make_body(grp, shadow, rays)
-                if n <= cfg.unroll:
+                if cand_mode:
+                    lo = cand_ref[ib, gi]
+                    hi = cand_ref[ib, gi + 1]
+
+                    def cand_body(j, c, body=body):
+                        body(cand_ref[ib, NG + 1 + j])
+                        return c
+                    jax.lax.fori_loop(lo, hi, cand_body, 0)
+                elif guard_on:
+                    if n <= cfg.unroll:
+                        for s in range(grp.start, grp.start + n):
+                            pl.when(bit_ok(s))(lambda s=s: body(s))
+                    else:
+                        def loop_body(s, c, body=body):
+                            pl.when(bit_ok(s))(lambda: body(s))
+                            return c
+                        jax.lax.fori_loop(grp.start, grp.start + n,
+                                          loop_body, 0)
+                elif n <= cfg.unroll:
                     # unroll: constant surface indices make every sp_f/sp_i
                     # access a static SMEM offset Mosaic can hoist out of
                     # the segment while_loop (they are loop-invariant)
                     for s in range(grp.start, grp.start + n):
                         body(s)
                 else:
-                    def loop_body(s, c):
+                    def loop_body(s, c, body=body):
                         body(s)
                         return c
                     jax.lax.fori_loop(grp.start, grp.start + n,
@@ -977,7 +1039,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                      * (1.0 / 16777216.0))
                 return seed, u
 
-            def pt_body(st):
+            def pt_body(st, primary=False):
                 (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
                  osrf, oside, thru_i, olx, oly, olz, act_i,
                  acc_r, acc_g, acc_b, seed, it) = st
@@ -985,7 +1047,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 active = act_i != 0
                 hitres = intersect(ox, oy, oz, dx, dy, dz, tmn, big_t,
                                    osrf, oside, thru, olx, oly, olz,
-                                   False, active)
+                                   False, active, primary=primary)
                 (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat,
                  hlx, hly, hlz) = hitres
                 hit = (bt < BIG) & active
@@ -1158,6 +1220,10 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             st0 = (ox, oy, oz, dx, dy, dz, tmn,
                    z + 1.0, z + 1.0, z + 1.0, zi - 1, zi + 1, zi,
                    z, z, z, zi + 1, z, z, z, seed0, jnp.zeros((), I32))
+            if use_cand:
+                # peel the primary segment: its nearest-hit pass walks
+                # the per-block candidate list instead of all surfaces
+                st0 = pt_body(st0, primary=True)
             out = jax.lax.while_loop(pt_cond, pt_body, st0)
             cr_r, cg_r, cb_r, sdo_r = rest_refs[:4]
             cr_r[:] = out[17]
@@ -1191,7 +1257,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
 
         amb_r, amb_g, amb_b = misc[0], misc[1], misc[2]
 
-        def shade_and_continue(st):
+        def shade_and_continue(st, primary=False):
             (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b, depth,
              osrf, oside, thru_i, olx, oly, olz, active_i,
              acc_r, acc_g, acc_b, sp, stk, it) = st
@@ -1200,7 +1266,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
 
             hitres = intersect(
                 ox, oy, oz, dx, dy, dz, tmn, big_t, osrf, oside, thru,
-                olx, oly, olz, False, active)
+                olx, oly, olz, False, active, primary=primary)
             (bt, bsrf, bside, hx, hy, hz, nx, ny, nz, bmat,
              hlx, hly, hlz) = hitres
             hit = (bt < BIG) & active
@@ -1501,6 +1567,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         def cond(st):
             return jnp.any(st[17] != 0) & (st[23] < cfg.max_segments)
 
+        if use_cand:
+            # peel the primary segment (candidate-list nearest hit)
+            st0 = shade_and_continue(st0, primary=True)
         out = jax.lax.while_loop(cond, shade_and_continue, st0)
         cr_r, cg_r, cb_r = out_refs[:3]
         cr_r[:] = out[18]
@@ -1524,6 +1593,104 @@ def _hit_scratch(sub: int):
     return [f, i, i, f, f, f, f, f, f, i, f, f, f, i]
 
 
+def _build_candidates(ps: PackedScene, struct: KernelStruct, tiles,
+                      period: int, sub: int):
+    """Per-block compacted surface candidate lists for the PRIMARY
+    segment (the stile/tilebuffer analog, engine.cpp:1956-2128 +
+    3129-3253, computed as one jnp pass): for each of ``period`` ray
+    blocks, bound the block's rays by an origin box + direction cone
+    (the same predicate as the kernel's runtime guard, with extra slack
+    so fp divergence between this pass and the kernel can never drop a
+    reachable surface), test every surface's world bounding sphere, and
+    compact the survivors into per-group index runs.
+
+    Returns (period, NG+1+NSP) i32 rows:
+      [0 : NG+1]  per-group candidate boundaries (prefix offsets)
+      [NG+1 :  ]  candidate permuted-row indices, ascending (group
+                  runs are contiguous because groups are contiguous
+                  in permuted order)
+    """
+    NSP = struct.ns
+    NG = len(struct.groups)
+    nreal = sum(g.count for g in struct.groups)
+    rows = period * sub
+    ox, oy, oz, dx, dy, dz, tm = [t[:rows].reshape(period, sub * LANES)
+                                  for t in tiles]
+    w = tm < BIG
+
+    def mn(a):
+        return jnp.min(jnp.where(w, a, BIG), axis=1)
+
+    def mx(a):
+        return jnp.max(jnp.where(w, a, -BIG), axis=1)
+
+    oxm, oxM = mn(ox), mx(ox)
+    oym, oyM = mn(oy), mx(oy)
+    ozm, ozM = mn(oz), mx(oz)
+    c0 = jnp.stack([oxm + oxM, oym + oyM, ozm + ozM], -1) * 0.5
+    r0 = 0.5 * jnp.sqrt((oxM - oxm) ** 2 + (oyM - oym) ** 2
+                        + (ozM - ozm) ** 2)
+    r0 = r0 * 1.0005 + 1e-4
+    ilen = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30))
+    dhx, dhy, dhz = dx * ilen, dy * ilen, dz * ilen
+    sx = jnp.sum(jnp.where(w, dhx, 0.0), axis=1)
+    sy = jnp.sum(jnp.where(w, dhy, 0.0), axis=1)
+    sz = jnp.sum(jnp.where(w, dhz, 0.0), axis=1)
+    an = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-30))
+    ax, ay, az = sx * an, sy * an, sz * an
+    cosmin = jnp.min(jnp.where(
+        w, dhx * ax[:, None] + dhy * ay[:, None] + dhz * az[:, None],
+        1.0), axis=1)
+    # 3e-4 angular slack (vs the kernel guard's 1e-4): the candidate
+    # set must be a superset of any runtime-guard decision
+    cosw = jnp.clip(cosmin - 3e-4, -1.0, 1.0)
+    sinw = jnp.sqrt(jnp.maximum(1.0 - cosw * cosw, 0.0))
+
+    lc = ps.sp_f[None, :, 34:37] - c0[:, None, :]       # (period, NSP, 3)
+    rs = jnp.sqrt(ps.sp_f[:, 37])[None, :]
+    d = (lc[..., 0] * ax[:, None] + lc[..., 1] * ay[:, None]
+         + lc[..., 2] * az[:, None])
+    dist2 = jnp.sum(lc * lc, axis=-1)
+    perp = jnp.sqrt(jnp.maximum(dist2 - d * d, 0.0))
+    e = perp * cosw[:, None] - d * sinw[:, None]
+    reach = ~(e > rs + r0[:, None] + 1e-3)
+    bnd = jnp.asarray(np.array(struct.bnd, np.int32))[None, :]
+    reach = reach | (bnd == 0)
+    real = (jnp.arange(NSP, dtype=I32) < nreal)[None, :]
+    reach = reach & real
+    # a block with no active lanes has degenerate stats: keep everything
+    reach = reach | ~jnp.any(w, axis=1)[:, None] & real
+    # NaN anywhere in the stats must degrade to "reach"
+    finite = jnp.isfinite(e)
+    reach = reach | (~finite & real)
+
+    ridx = jnp.arange(NSP, dtype=I32)[None, :]
+    key = jnp.where(reach, ridx, ridx + NSP)
+    order = jnp.argsort(key, axis=1).astype(I32)        # (period, NSP)
+    pref = jnp.cumsum(reach.astype(I32), axis=1)
+    starts = [g.start for g in struct.groups] + [nreal]
+    bcols = [jnp.zeros((period,), I32) if s == 0 else pref[:, s - 1]
+             for s in starts]
+    bounds = jnp.stack(bcols, axis=1)                    # (period, NG+1)
+    return jnp.concatenate([bounds, order], axis=1)
+
+
+def _cand_period(struct: KernelStruct, cfg: TraceConfig, R: int,
+                 period: int = 0, sub: int = SUB) -> int:
+    """Static candidate-table period (0 = disabled): candidates need a
+    many-surface scene, culling enabled, and an SMEM-sized table."""
+    nreal = sum(g.count for g in struct.groups)
+    if not (cfg.cull and cfg.cand and any(struct.bnd)
+            and nreal > cfg.unroll):
+        return 0
+    if period <= 0:
+        period = R // sub
+    cw = len(struct.groups) + 1 + struct.ns
+    if period * cw * 4 > 448 * 1024:   # SMEM budget
+        return 0
+    return period
+
+
 _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
 
 # packed-scene cache: packing costs ~1 ms of XLA gathers per call on TPU,
@@ -1532,36 +1699,71 @@ _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
 _get_packed = _SceneCache(_pack_jit)
 
 
-@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
-def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
-                 struct: KernelStruct, cfg: TraceConfig, interpret: bool):
-    """Pallas dispatch on pre-tiled (R, 128) ray components; returns the
-    three (R, 128) color component tiles."""
-    R = ox.shape[0]
-    assert R % SUB == 0, f"ray tiles must pad to SUB={SUB} rows, got {R}"
-    grid = R // SUB
-    kern = _make_kernel(struct, cfg)
-    # index_map receives the scalar-prefetch refs after the grid index
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
+def _scene_specs(ps: PackedScene, cull_on: bool):
+    """(extra input specs, extra scratch) shared by every dispatch:
+    texture atlas + LUT (+ transposed sphere table and the SMEM umask
+    scratch when culling)."""
     G = ps.tex_pk.shape[0]
     tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
     lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
+    specs = [tex_spec, lut_spec]
+    scratch = []
+    if cull_on:
+        NSRd = ps.bsph_t.shape[1]
+        specs.append(pl.BlockSpec((4, NSRd, LANES),
+                                  lambda i, *_: (0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        scratch.append(pltpu.SMEM((-(-(NSRd * LANES) // 32),), I32))
+    return specs, scratch
+
+
+def _scene_args(ps: PackedScene, cull_on: bool):
+    return ((ps.tex_pk, ps.tex_lut, ps.bsph_t) if cull_on
+            else (ps.tex_pk, ps.tex_lut))
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret",
+                                   "cand_period"))
+def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
+                 struct: KernelStruct, cfg: TraceConfig, interpret: bool,
+                 cand_period: int = 0):
+    """Pallas dispatch on pre-tiled (R, 128) ray components; returns the
+    three (R, 128) color component tiles. cand_period > 0 feeds the
+    kernel per-block primary candidate lists built from the first
+    cand_period blocks' rays (blocks repeat with that period, e.g. the
+    bench's K concatenated identical frames)."""
+    R = ox.shape[0]
+    sub = cfg.sub
+    assert R % sub == 0, f"ray tiles must pad to sub={sub} rows, got {R}"
+    grid = R // sub
+    cull_on = cfg.cull and any(struct.bnd)
+    use_cand = _cand_period(struct, cfg, R, cand_period, sub)
+    kern = _make_kernel(struct, cfg, use_cand=use_cand)
+    # index_map receives the scalar-prefetch refs after the grid index
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    npf = 6
+    pre = []
+    if use_cand:
+        tiles7 = (ox, oy, oz, dx, dy, dz, tm)
+        pre.append(_build_candidates(ps, struct, tiles7, use_cand, sub))
+        npf += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=npf,
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
+        in_specs=[ray_spec] * 7 + sc_specs,
         out_specs=[ray_spec] * 3,
-        scratch_shapes=_hit_scratch(SUB),
+        scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, *pre,
+      ox, oy, oz, dx, dy, dz, tm, *_scene_args(ps, cull_on))
 
 
 @partial(jax.jit, static_argnames=("struct", "cfg", "k_paths",
@@ -1572,31 +1774,37 @@ def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     """Colors + K per-segment path-record tiles (trace-replay autodiff).
     Segments are capped at K so every executed segment is recorded."""
     R = ox.shape[0]
-    grid = R // SUB
+    sub = cfg.sub
+    grid = R // sub
+    cull_on = cfg.cull and any(struct.bnd)
+    use_cand = _cand_period(struct, cfg, R, sub=sub)
     cfgk = cfg._replace(max_segments=k_paths)
-    kern = _make_kernel(struct, cfgk, emit_paths=k_paths)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+    kern = _make_kernel(struct, cfgk, emit_paths=k_paths,
+                        use_cand=use_cand)
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    G = ps.tex_pk.shape[0]
-    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
-    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    npf = 6
+    pre = []
+    if use_cand:
+        pre.append(_build_candidates(
+            ps, struct, (ox, oy, oz, dx, dy, dz, tm), use_cand, sub))
+        npf += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=npf,
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
+        in_specs=[ray_spec] * 7 + sc_specs,
         out_specs=[ray_spec] * (3 + k_paths),
-        scratch_shapes=_hit_scratch(SUB)
-        + [pltpu.VMEM((k_paths, SUB, LANES), I32)],
+        scratch_shapes=_hit_scratch(sub) + sc_scratch
+        + [pltpu.VMEM((k_paths, sub, LANES), I32)],
     )
     out_shape = ([jax.ShapeDtypeStruct((R, LANES), F32)] * 3
                  + [jax.ShapeDtypeStruct((R, LANES), I32)] * k_paths)
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, *pre,
+      ox, oy, oz, dx, dy, dz, tm, *_scene_args(ps, cull_on))
 
 
 def trace_paths(sc: SceneArrays, org, dirs, t_min,
@@ -1621,29 +1829,34 @@ def _trace_tiled_pt(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm, sd,
                     interpret: bool):
     """PT dispatch: colors + advanced seed tiles."""
     R = ox.shape[0]
-    grid = R // SUB
-    kern = _make_kernel(struct, cfg, pt=True)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+    sub = cfg.sub
+    grid = R // sub
+    cull_on = cfg.cull and any(struct.bnd)
+    use_cand = _cand_period(struct, cfg, R, sub=sub)
+    kern = _make_kernel(struct, cfg, pt=True, use_cand=use_cand)
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    G = ps.tex_pk.shape[0]
-    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
-    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    npf = 6
+    pre = []
+    if use_cand:
+        pre.append(_build_candidates(
+            ps, struct, (ox, oy, oz, dx, dy, dz, tm), use_cand, sub))
+        npf += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=npf,
         grid=(grid,),
-        in_specs=[ray_spec] * 8 + [tex_spec, lut_spec],
+        in_specs=[ray_spec] * 8 + sc_specs,
         out_specs=[ray_spec] * 4,
-        scratch_shapes=_hit_scratch(SUB),
+        scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     out_shape = ([jax.ShapeDtypeStruct((R, LANES), F32)] * 3
                  + [jax.ShapeDtypeStruct((R, LANES), I32)])
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm, sd, ps.tex_pk, ps.tex_lut)
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, *pre,
+      ox, oy, oz, dx, dy, dz, tm, sd, *_scene_args(ps, cull_on))
 
 
 def trace_pt_pallas(sc: SceneArrays, org, dirs, t_min, seeds,
@@ -1666,7 +1879,8 @@ def _prep_and_trace_pt(ps: PackedScene, org, dirs, t_min, seeds,
                        struct: KernelStruct, cfg: TraceConfig,
                        interpret: bool):
     N = dirs.shape[0]
-    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    block = cfg.sub * LANES
+    npad = ((N + block - 1) // block) * block
     pad = npad - N
     orgT = org.T
     dirsT = dirs.T
@@ -1755,7 +1969,8 @@ def render_pt_pallas(sc: SceneArrays, width: int, height: int, seeds,
     struct = _get_struct(sc)
     ps = _get_packed(sc, struct)
     n = width * height
-    npad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    block = cfg.sub * LANES
+    npad = ((n + block - 1) // block) * block
     sd = jax.lax.bitcast_convert_type(seeds, jnp.int32)
     if npad != n:
         sd = jnp.concatenate([sd, jnp.zeros((npad - n,), jnp.int32)])
@@ -1790,7 +2005,8 @@ def _prep_and_trace_paths(ps: PackedScene, org, dirs, t_min,
                           struct: KernelStruct, cfg: TraceConfig,
                           k_paths: int, interpret: bool):
     N = dirs.shape[0]
-    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    block = cfg.sub * LANES
+    npad = ((N + block - 1) // block) * block
     pad = npad - N
     orgT = org.T
     dirsT = dirs.T
@@ -1822,21 +2038,19 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
                       interpret: bool):
     """Round-1 dispatch: colors + the 18-tile resumable ray state."""
     R = ox.shape[0]
-    grid = R // SUB
+    sub = cfg.sub
+    grid = R // sub
+    cull_on = cfg.cull and any(struct.bnd)
     kern = _make_kernel(struct, cfg, emit_state=True)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+    ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    G = ps.tex_pk.shape[0]
-    tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
-    lut_spec = pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
-                            memory_space=pltpu.VMEM)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(grid,),
-        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec],
+        in_specs=[ray_spec] * 7 + sc_specs,
         out_specs=[ray_spec] * 21,
-        scratch_shapes=_hit_scratch(SUB),
+        scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     f32s = jax.ShapeDtypeStruct((R, LANES), F32)
     i32s = jax.ShapeDtypeStruct((R, LANES), I32)
@@ -1848,7 +2062,7 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
     )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
-      ox, oy, oz, dx, dy, dz, tm, ps.tex_pk, ps.tex_lut)
+      ox, oy, oz, dx, dy, dz, tm, *_scene_args(ps, cull_on))
 
 
 @partial(jax.jit, static_argnames=("struct", "cfg", "interpret", "sub"))
@@ -1862,28 +2076,24 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
     block height: the SAME buffers are just re-tiled into finer blocks,
     giving 64/sub-times finer retirement granularity for the deep tail."""
     R = state[0].shape[0]
+    cull_on = cfg.cull and any(struct.bnd)
     kern = _make_kernel(struct, cfg, resume=True)
     ray_spec = pl.BlockSpec(
         (sub, LANES),
         lambda i, sp_f, sp_i, cl_f, mat_f, lg_f, misc, blk: (blk[i], 0),
         memory_space=pltpu.VMEM)
-    G = ps.tex_pk.shape[0]
-    tex_spec = pl.BlockSpec(
-        (G, LANES),
-        lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
-    lut_spec = pl.BlockSpec(
-        (2, LANES),
-        lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
-    # input order must match kernel signature: 7 primary tiles, tex, lut,
-    # then the 11 resume tiles; blist rides as the 7th prefetch operand
-    ins = state[:7] + (ps.tex_pk, ps.tex_lut) + state[7:]
+    # input order must match kernel signature: 7 primary tiles, tex, lut
+    # (+ sphere table), then the 11 resume tiles; blist rides as the 7th
+    # prefetch operand
+    ins = state[:7] + _scene_args(ps, cull_on) + state[7:]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_blocks,),
-        in_specs=[ray_spec] * 7 + [tex_spec, lut_spec] + [ray_spec] * 11,
+        in_specs=[ray_spec] * 7 + sc_specs + [ray_spec] * 11,
         out_specs=[ray_spec] * 3,
-        scratch_shapes=_hit_scratch(sub),
+        scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
@@ -1926,7 +2136,8 @@ def _prep_and_trace(ps: PackedScene, org, dirs, t_min,
                     struct: KernelStruct, cfg: TraceConfig,
                     interpret: bool):
     N = dirs.shape[0]
-    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    block = cfg.sub * LANES
+    npad = ((N + block - 1) // block) * block
     pad = npad - N
     orgT = org.T        # one contiguous transpose beats 3 strided slices
     dirsT = dirs.T
@@ -1986,7 +2197,8 @@ def _prep_and_trace_rounds(ps: PackedScene, org, dirs, t_min,
                            struct: KernelStruct, cfg: TraceConfig,
                            k1: int, interpret: bool):
     N = dirs.shape[0]
-    npad = ((N + BLOCK - 1) // BLOCK) * BLOCK
+    block = cfg.sub * LANES
+    npad = ((N + block - 1) // block) * block
     pad = npad - N
     orgT = org.T
     dirsT = dirs.T
@@ -2029,18 +2241,22 @@ def use_rounds(struct: KernelStruct) -> bool:
 
 
 def trace_tiles(ps: PackedScene, tiles, struct: KernelStruct,
-                cfg: TraceConfig, interpret: bool = False):
-    """Dispatch pre-tiled rays through the fastest supported kernel
-    configuration: two-round in-place retirement for deep single-branch
-    scenes (the measured 1.7-3.4x non-retirement waste on demo03/test13),
-    the monolithic megakernel otherwise. This is THE product trace path:
-    render_pallas and bench.py both go through it."""
+                cfg: TraceConfig, interpret: bool = False,
+                cand_period: int = 0):
+    """Dispatch pre-tiled rays through the product trace path: the
+    monolithic megakernel (always — the two-round retirement machinery
+    measured slower and is retained only via trace_rays_pallas_rounds;
+    see use_rounds) with per-block primary candidate lists when the
+    scene is large enough (_cand_period). render_pallas and bench.py
+    both go through it. ``cand_period`` overrides the candidate-table
+    period for dispatches whose blocks repeat (e.g. K concatenated
+    identical frames)."""
     if use_rounds(struct):
         return _trace_rounds_impl(ps, *tiles, struct=struct, cfg=cfg,
                                   k1=ROUNDS_K1, interpret=interpret,
                                   sub2=ROUNDS_SUB2)
     return _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
-                        interpret=interpret)
+                        interpret=interpret, cand_period=cand_period)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "fsaa", "struct",
@@ -2050,9 +2266,10 @@ def _render_impl(ps: PackedScene, cam, width, height, fsaa,
     from quadray_tpu.ops.rays import camera_rays_tiles2d, untile_frame
     cam_pos, cam_hor, cam_ver, cam_nrm, cam_pov = cam
     tiles = camera_rays_tiles2d(cam_pos, cam_hor, cam_ver, cam_nrm,
-                                cam_pov, width, height, fsaa, BLOCK)
+                                cam_pov, width, height, fsaa,
+                                cfg.sub * LANES)
     cr, cg, cb = trace_tiles(ps, tiles, struct, cfg, interpret)
-    comps = [untile_frame(c, width, height, fsaa, BLOCK)
+    comps = [untile_frame(c, width, height, fsaa, cfg.sub * LANES)
              for c in (cr, cg, cb)]
     return jnp.stack(comps, axis=-1)
 
@@ -2062,11 +2279,12 @@ def render_pallas(sc: SceneArrays, width: int, height: int, fsaa: int = 1,
                   interpret: bool = False, struct: KernelStruct = None):
     """Full-frame fast path: tiled ray gen -> megakernel -> (H, W, 3)
     linear image, all in one jit (no per-frame scene packing, no (N, 3)
-    layout round-trips). Every scene feature is kernel-supported; deep
-    single-branch scenes automatically take the two-round retirement
-    path (see trace_tiles). `struct` lets callers with per-frame
-    animated SceneArrays reuse the time-invariant kernel structure
-    without a device round-trip."""
+    layout round-trips). Every scene feature is kernel-supported; the
+    monolithic megakernel is always used (the rounds machinery is
+    retained only via trace_rays_pallas_rounds — see use_rounds), with
+    per-block primary candidate lists on many-surface scenes. `struct`
+    lets callers with per-frame animated SceneArrays reuse the
+    time-invariant kernel structure without a device round-trip."""
     struct = struct or _get_struct(sc)
     ps = _get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)

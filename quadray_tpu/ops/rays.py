@@ -62,11 +62,15 @@ def resolve_aa(colors, width: int, height: int, fsaa: int):
 
 def tile_shape(fsaa: int, block: int):
     """Screen-tile dims (TH, TW) with TH*TW*fsaa == block: the on-chip
-    ray block covers a compact 2D screen window instead of a full-width
-    scanline strip, so block-level bounding-sphere culling (the
-    tilebuffer analog, engine.cpp:3129-3253) has tight ray bundles."""
-    th = {1: 64, 2: 64, 4: 32}[fsaa]
-    tw = block // (th * fsaa)
+    ray block covers a compact, near-square 2D screen window instead of
+    a full-width scanline strip, so block-level culling (the tilebuffer
+    analog, engine.cpp:3129-3253) has tight ray bundles. block=1024
+    (the 8-sublane kernel block) gives 32x32-px windows — the fine
+    granularity the per-block surface candidate lists key on."""
+    n = block // fsaa
+    p = n.bit_length() - 1
+    th = 1 << (p // 2)
+    tw = n // th
     return th, tw
 
 

@@ -92,6 +92,16 @@ class TraceConfig(NamedTuple):
     # AR_ptr whole-sublist skip analog, tracer.cpp:3953-4056): skip a
     # surface's solver entirely when no ray in the on-chip block can
     # reach its world bounding sphere
+    cand: bool = True        # per-block compacted surface candidate
+    # lists for the primary segment (the 8x8-tile tilebuffer candidate
+    # list analog, engine.cpp:3129-3253, at screen-tile granularity):
+    # the peeled first segment loops over len(candidates[block])
+    # surfaces instead of NS. Ignored when cull is False
+    sub: int = 64            # kernel block height in sublanes: one
+    # on-chip block = sub*128 rays = a tile_shape(fsaa, sub*128) screen
+    # window. 64 amortizes per-surface scalar work over 8192 rays; 8
+    # gives 32x32-px windows (tighter bundles, finer retirement) at 8x
+    # the scalar overhead per ray
 
 
 # ---------------------------------------------------------------------------

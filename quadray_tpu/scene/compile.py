@@ -313,13 +313,15 @@ def _canonical_bounds(srf: S.Surface) -> Tuple[np.ndarray, np.ndarray]:
         p1, p2 = abs(f(srf.pr1)), abs(f(srf.pr2))
         xab = max(abs(cmin[0]), abs(cmax[0]))
         yab = max(abs(cmin[1]), abs(cmax[1]))
-        if np.isfinite(zab) and np.isfinite(yab):
+        # degenerate saddles (p1/p2 == 0) stay unbounded on the affected
+        # axes instead of dividing by zero at compile time
+        if np.isfinite(zab) and np.isfinite(yab) and p1 > 0.0 and p2 > 0.0:
             r = math.sqrt(p1 * (zab + yab * yab / p2))
             clamp(0, -r, r)
-        if np.isfinite(zab) and np.isfinite(xab):
+        if np.isfinite(zab) and np.isfinite(xab) and p1 > 0.0 and p2 > 0.0:
             r = math.sqrt(p2 * (zab + xab * xab / p1))
             clamp(1, -r, r)
-        if np.isfinite(xab) and np.isfinite(yab):
+        if np.isfinite(xab) and np.isfinite(yab) and p1 > 0.0 and p2 > 0.0:
             hi = xab * xab / p1
             lo = -yab * yab / p2
             clamp(2, lo, hi)
