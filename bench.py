@@ -79,51 +79,43 @@ def bench_scene(name, cfg):
     struct = pk._get_struct(sc)
     ps = pk._get_packed(sc, struct)
     cam = (sc.cam_pos, sc.cam_hor, sc.cam_ver, sc.cam_nrm, sc.cam_pov)
+    from quadray_tpu.ops.rays import tile_shape
+    th, tw = tile_shape(FSAA, cfg.sub * 128)
+    nbf = (-(-WIDTH // tw)) * (-(-HEIGHT // th))  # blocks per frame
 
     @partial(jax.jit, static_argnames=("k",))
     def make_tiles(cam, k, salt):
-        cam = (cam[0] + salt * 0.0,) + cam[1:]
+        # the salt nudges the camera by ~1e-6 so every repetition's rays
+        # (and results) differ in value: the axon runtime memoizes
+        # repeat executions by VALUE, so equal-input timing loops would
+        # measure the cache, not the chip (round-5 finding; the round-4
+        # fresh-buffer trick no longer defeats it)
+        cam = (cam[0] + salt * 1e-6,) + cam[1:]
         # screen-tile ray order: the product layout (_render_impl)
-        tiles = camera_rays_tiles2d(*cam, WIDTH, HEIGHT, FSAA, pk.BLOCK)
+        tiles = camera_rays_tiles2d(*cam, WIDTH, HEIGHT, FSAA,
+                                    cfg.sub * 128)
         return tuple(jnp.concatenate([t] * k, 0) for t in tiles)
 
     @jax.jit
     def trace_batch(ps, *tiles):
-        # the PRODUCT trace path (trace_tiles): monolithic kernel or the
-        # two-round in-place retirement, per the use_rounds heuristic
-        cr, cg, cb = pk.trace_tiles(ps, tiles, struct, cfg)
+        # the PRODUCT trace path (trace_tiles): wavefront sort-compacted
+        # rounds for many-surface single-branch scenes, the monolithic
+        # kernel otherwise; per-frame candidate period
+        cr, cg, cb = pk.trace_tiles(ps, tiles, struct, cfg,
+                                    cand_period=nbf)
         return jnp.sum(cr) + jnp.sum(cg) + jnp.sum(cb)
 
-    # the axon runtime memoizes results on identical input buffer ids
-    # (measured: repeat with same buffers 0.1 ms, fresh buffers with the
-    # same VALUES ~400 ms real execution) — derive a fresh-but-equal
-    # t_min buffer per repetition so every timed call really executes
-    @jax.jit
-    def fresh(t, i):
-        return t + i * 0.0
-
     def timed(k):
-        salt = [0]
-
-        def tiles_fresh():
-            salt[0] += 1
-            return jax.block_until_ready(
-                make_tiles(cam, k, jnp.float32(salt[0])))
-
-        tiles = tiles_fresh()
-        trace_batch(ps, *tiles).block_until_ready()  # warm
+        tiles = make_tiles(cam, k, jnp.float32(0))
+        float(trace_batch(ps, *tiles))  # warm (compile)
         best = float("inf")
         for rep in range(REPS):
-            t7 = fresh(tiles[6], jnp.float32(rep + 1))
-            t7.block_until_ready()
+            tiles = make_tiles(cam, k, jnp.float32(rep + 1))
+            for t in tiles:
+                float(t[0, 0])          # materialize inputs off-clock
             t0 = time.perf_counter()
-            trace_batch(ps, *tiles[:6], t7).block_until_ready()
-            dt = time.perf_counter() - t0
-            if dt < 1e-3:
-                # memoization slipped through; retry with all-fresh args
-                tiles = tiles_fresh()
-                continue
-            best = min(best, dt)
+            float(trace_batch(ps, *tiles))   # host fetch forces exec
+            best = min(best, time.perf_counter() - t0)
         return best
 
     t0 = time.time()

@@ -109,12 +109,18 @@ class PackedScene(NamedTuple):
     misc: jnp.ndarray    # (8,) f32: amb_rgb, use_gamma, use_fresnel, pad
     tex_pk: jnp.ndarray  # (G, 128) i32 texture atlas, u8 rgb packed
     tex_lut: jnp.ndarray  # (2, 128) f32 u8 -> f32 texel decode LUT
-    bsph_t: jnp.ndarray  # (4, NSR, 128) f32 transposed bounding-sphere
-    #                      table (cx/cy/cz/rs per 128-surface word, rs =
-    #                      +inf for unbounded rows): feeds the kernel's
-    #                      VECTORIZED per-call reach mask (one VPU pass
-    #                      over all surfaces instead of per-surface
-    #                      scalar cone math)
+    bsph_t: jnp.ndarray  # (4, 1, NSR*128) f32 transposed bounding-
+    #                      sphere table (cx/cy/cz/rs, lane-major surface
+    #                      order, rs = +inf for unbounded rows): feeds
+    #                      the kernel's VECTORIZED per-call reach mask
+    #                      (a (rows x surfaces) VPU pass instead of
+    #                      per-surface scalar cone math)
+    shad_msk: jnp.ndarray  # (NS, max(1, NL*NW)) i32 per-(receiver
+    #                      surface, light) shadow blocker bitmasks (the
+    #                      lsort analog, engine.cpp:2456-2757): bit b of
+    #                      word l*NW+w = permuted surface 32w+b can
+    #                      occlude light l for hit points on this row's
+    #                      surface (sphere-vs-capsule hull, conservative)
 
 
 class Group(NamedTuple):
@@ -338,9 +344,44 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
     if npad:
         comp = jnp.concatenate(
             [comp, jnp.zeros((4, npad), F32)], axis=1)
-    bsph_t = comp.reshape(4, NSR, LANES)
+    bsph_t = comp.reshape(4, 1, NSR * LANES)
+    # lsort analog (engine.cpp:2456-2757): blocker b can occlude light l
+    # for hit points on receiver r only if b's sphere meets the capsule
+    # hull of (l.pos -> r's sphere center, radius = r's radius) — the
+    # hull of a point and a sphere is contained in that capsule. Rows
+    # with unbounded receivers/blockers conservatively keep every bit.
+    NW = -(-NS // 32)
+    NL = struct.nl
+    if NL > 0:
+        cb = bperm[:, :3]                                # (NS, 3)
+        rb = jnp.where(bnd_p > 0, jnp.sqrt(bperm[:, 3]), jnp.inf)
+        words = []
+        nb32 = NW * 32
+        pad32 = nb32 - NS
+        bitpos = jnp.arange(nb32, dtype=I32) % 32
+        for l in range(NL):
+            p = sc.l_pos[l]                              # (3,)
+            u = bperm[:, :3] - p[None, :]                # (NS, 3) recv
+            uu = jnp.maximum(jnp.sum(u * u, axis=1), 1e-30)
+            lc = cb[None, :, :] - p[None, None, :]       # (1, NS, 3)
+            tp = jnp.clip(jnp.sum(lc * u[:, None, :], axis=2)
+                          / uu[:, None], 0.0, 1.0)       # (NSr, NSb)
+            q = lc - tp[..., None] * u[:, None, :]
+            dist2 = jnp.sum(q * q, axis=2)
+            re = rs[:, None] + rb[None, :] + 1e-3        # recv + blk
+            occ = ~(dist2 > re * re)                     # inf-safe
+            occ = occ | (bnd_p[None, :] == 0)            # unbounded blk
+            occ = occ.astype(I32)
+            if pad32:
+                occ = jnp.concatenate(
+                    [occ, jnp.zeros((NS, pad32), I32)], axis=1)
+            w = (occ << bitpos[None, :]).reshape(NS, NW, 32).sum(2)
+            words.append(w)
+        shad_msk = jnp.concatenate(words, axis=1).astype(I32)
+    else:
+        shad_msk = jnp.zeros((NS, 1), I32)
     return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
-                       tex_pk, jnp.asarray(_TEX_LUT), bsph_t)
+                       tex_pk, jnp.asarray(_TEX_LUT), bsph_t, shad_msk)
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
@@ -417,6 +458,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     NSR = -(-NSP // LANES)   # 128-surface words in the reach vector
     NW = -(-NSP // 32)       # 32-bit umask words
     NG = len(struct.groups)
+    # static shadow-blocker masks only pay off when shadows run (PT has
+    # no shadow pass)
+    lsort_on = cull_on and cfg.lsort and struct.nl > 0 and not pt
     assert not (use_cand and resume)
 
     def mats_with(bit):
@@ -456,6 +500,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     any_tex = bool(struct.tex)
 
     def kernel(sp_f, sp_i, cl_f, mat_f, lg_f, misc, *more):
+        if lsort_on:
+            # scalar-prefetch: per-(receiver surface, light) shadow
+            # blocker bitmasks (PackedScene.shad_msk)
+            shad_ref = more[0]
+            more = more[1:]
         if use_cand:
             # 7th scalar-prefetch operand: per-block candidate table
             # (use_cand rows of [NG+1 group boundaries | compacted
@@ -474,6 +523,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # lax.cond branches (13 tiles/surface), erasing the cull win
         if emit_paths:
             rec_s = more[-1]
+            more = more[:-1]
+        if lsort_on:
+            # NL*NW-word SMEM scratch: union over the block's committed
+            # receiver surfaces of their per-light blocker masks
+            shu_s = more[-1]
             more = more[:-1]
         if cull_on:
             # NW-word SMEM bitmask: the per-call vectorized reach mask,
@@ -584,24 +638,37 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     # overwriting the stored best hit
                     better = (t < BIG) & (
                         (t < bt) | ((t == bt) & (origid < bsrf)))
-                    midx = jnp.where(side > 0, sp_i[s, SI_MO],
-                                     sp_i[s, SI_MI])
-                    sel = lambda a_, r_: jnp.where(better, a_, r_[:])
-                    t_s[:] = jnp.where(better, t, bt)
-                    srf_s[:] = jnp.where(better, origid, bsrf)
-                    side_s[:] = sel(side, side_s)
-                    hwx_s[:] = sel(wx, hwx_s)
-                    hwy_s[:] = sel(wy, hwy_s)
-                    hwz_s[:] = sel(wz, hwz_s)
-                    hnx_s[:] = sel(nx, hnx_s)
-                    hny_s[:] = sel(ny, hny_s)
-                    hnz_s[:] = sel(nz, hnz_s)
-                    mat_s[:] = sel(midx, mat_s)
-                    # local hit rides along: texture UV + the origin_loc
-                    # of any continuation ray (local-diff reuse)
-                    hlx_s[:] = sel(hx, hlx_s)
-                    hly_s[:] = sel(hy, hly_s)
-                    hlz_s[:] = sel(hz, hlz_s)
+
+                    # the 13-tile masked store only runs when some lane
+                    # actually improves — surfaces that pass the reach
+                    # guard but lose everywhere skip ~2/3 of their cost
+                    @pl.when(jnp.any(better))
+                    def _():
+                        if lsort_on:
+                            # fold this receiver's per-light blocker
+                            # masks into the block union (consumed by
+                            # the shadow passes of this segment)
+                            for i_ in range(NL * NW):
+                                shu_s[i_] = shu_s[i_] | shad_ref[s, i_]
+                        midx = jnp.where(side > 0, sp_i[s, SI_MO],
+                                         sp_i[s, SI_MI])
+                        sel = lambda a_, r_: jnp.where(better, a_, r_[:])
+                        t_s[:] = jnp.where(better, t, bt)
+                        srf_s[:] = jnp.where(better, origid, bsrf)
+                        side_s[:] = sel(side, side_s)
+                        hwx_s[:] = sel(wx, hwx_s)
+                        hwy_s[:] = sel(wy, hwy_s)
+                        hwz_s[:] = sel(wz, hwz_s)
+                        hnx_s[:] = sel(nx, hnx_s)
+                        hny_s[:] = sel(ny, hny_s)
+                        hnz_s[:] = sel(nz, hnz_s)
+                        mat_s[:] = sel(midx, mat_s)
+                        # local hit rides along: texture UV + the
+                        # origin_loc of any continuation ray
+                        # (local-diff reuse)
+                        hlx_s[:] = sel(hx, hlx_s)
+                        hly_s[:] = sel(hy, hly_s)
+                        hlz_s[:] = sel(hz, hlz_s)
 
                 if grp.is_plane:
                     # plane root + ray-sign side (tracer.cpp:4062-4210)
@@ -795,7 +862,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # ---- intersect: nearest hit / shadow any-hit over all groups --
         def intersect(ox, oy, oz, dx, dy, dz, tmn, tmx,
                       osrf, oside, thru, olx, oly, olz, shadow, wmask,
-                      primary=False):
+                      primary=False, light=0):
             # primary+candidates: the peeled first segment loops over
             # the precomputed per-block candidate list (the tilebuffer
             # per-tile object list analog, engine.cpp:3129-3253) — no
@@ -807,39 +874,78 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             cand_mode = bool(use_cand) and primary and not shadow
             guard_on = cull_on and not cand_mode
             if guard_on:
-                # per-call ray-bundle bound (the tiling() projection
-                # analog, engine.cpp:962-1107): origin box + direction
-                # cone (nearest-hit) / endpoint capsule (shadow rays
-                # all end at the light: tmx=1). Inactive lanes are
-                # excluded; all-inactive blocks degrade to "reach";
+                # PER-ROW ray-bundle bounds (the reference tests its
+                # 4-16-ray packets against array bounding spheres —
+                # AR_ptr, tracer.cpp:3953-4056; one origin-box +
+                # direction-cone / endpoint-capsule per 128-lane row
+                # restores that packet-granularity for divergent
+                # secondary bundles): a surface is skipped only when NO
+                # row's bundle can reach it. Inactive lanes are
+                # excluded; fully-inactive rows contribute nothing;
                 # every comparison is written so NaN/inf degrades to
                 # "reach" (never to a wrong skip).
-                def mn(a):
-                    return jnp.min(jnp.where(wmask, a, BIG))
+                NSL = NSR * LANES
+                # small scenes don't amortize the (rows x surfaces)
+                # matrix: collapse to one block-wide bundle
+                per_row = sum(
+                    g.count for g in struct.groups) > cfg.unroll
+                if per_row:
+                    row_act = jnp.any(wmask, axis=1, keepdims=True)
 
-                def mx(a):
-                    return jnp.max(jnp.where(wmask, a, -BIG))
+                    def mnr(a):
+                        return jnp.min(jnp.where(wmask, a, BIG), axis=1,
+                                       keepdims=True)
 
-                oxm, oxM = mn(ox), mx(ox)
-                oym, oyM = mn(oy), mx(oy)
-                ozm, ozM = mn(oz), mx(oz)
-                c0x = 0.5 * (oxm + oxM)
+                    def mxr(a):
+                        return jnp.max(jnp.where(wmask, a, -BIG),
+                                       axis=1, keepdims=True)
+
+                    def sumr(a):
+                        return jnp.sum(jnp.where(wmask, a, 0.0), axis=1,
+                                       keepdims=True)
+
+                    def minr(a, fill):
+                        return jnp.min(jnp.where(wmask, a, fill),
+                                       axis=1, keepdims=True)
+                else:
+                    row_act = jnp.any(wmask).reshape(1, 1)
+
+                    def mnr(a):
+                        return jnp.min(
+                            jnp.where(wmask, a, BIG)).reshape(1, 1)
+
+                    def mxr(a):
+                        return jnp.max(
+                            jnp.where(wmask, a, -BIG)).reshape(1, 1)
+
+                    def sumr(a):
+                        return jnp.sum(
+                            jnp.where(wmask, a, 0.0)).reshape(1, 1)
+
+                    def minr(a, fill):
+                        return jnp.min(
+                            jnp.where(wmask, a, fill)).reshape(1, 1)
+
+                oxm, oxM = mnr(ox), mxr(ox)
+                oym, oyM = mnr(oy), mxr(oy)
+                ozm, ozM = mnr(oz), mxr(oz)
+                c0x = 0.5 * (oxm + oxM)                    # (S, 1)
                 c0y = 0.5 * (oym + oyM)
                 c0z = 0.5 * (ozm + ozM)
                 r0 = 0.5 * jnp.sqrt((oxM - oxm) ** 2 + (oyM - oym) ** 2
                                     + (ozM - ozm) ** 2)
                 r0 = r0 * 1.0005 + 1e-4
-                scx = bsph_r[0]           # (NSR, 128) sphere centers
+                scx = bsph_r[0]                            # (1, NSL)
                 scy = bsph_r[1]
                 scz = bsph_r[2]
                 srs = bsph_r[3]           # radius, +inf when unbounded
-                lcx = scx - c0x
+                lcx = scx - c0x                            # (S, NSL)
                 lcy = scy - c0y
                 lcz = scz - c0z
                 if shadow:
-                    exm, exM = mn(ox + dx), mx(ox + dx)
-                    eym, eyM = mn(oy + dy), mx(oy + dy)
-                    ezm, ezM = mn(oz + dz), mx(oz + dz)
+                    exm, exM = mnr(ox + dx), mxr(ox + dx)
+                    eym, eyM = mnr(oy + dy), mxr(oy + dy)
+                    ezm, ezM = mnr(oz + dz), mxr(oz + dz)
                     c1x = 0.5 * (exm + exM)
                     c1y = 0.5 * (eym + eyM)
                     c1z = 0.5 * (ezm + ezM)
@@ -856,21 +962,21 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     qz = lcz - tp * uz
                     dist2 = qx * qx + qy * qy + qz * qz
                     re = srs + brad
-                    reach = ~(dist2 > re * re)
+                    reach_rows = ~(dist2 > re * re)
                 else:
                     ilen = jax.lax.rsqrt(jnp.maximum(
                         dx * dx + dy * dy + dz * dz, 1e-30))
                     dhx = dx * ilen
                     dhy = dy * ilen
                     dhz = dz * ilen
-                    sx = jnp.sum(jnp.where(wmask, dhx, 0.0))
-                    sy = jnp.sum(jnp.where(wmask, dhy, 0.0))
-                    sz = jnp.sum(jnp.where(wmask, dhz, 0.0))
+                    sx = sumr(dhx)
+                    sy = sumr(dhy)
+                    sz = sumr(dhz)
                     an = jax.lax.rsqrt(jnp.maximum(
                         sx * sx + sy * sy + sz * sz, 1e-30))
                     bax, bay, baz = sx * an, sy * an, sz * an
-                    cosmin = jnp.min(jnp.where(
-                        wmask, dhx * bax + dhy * bay + dhz * baz, 1.0))
+                    cosmin = minr(dhx * bax + dhy * bay + dhz * baz,
+                                  1.0)
                     cosw = jnp.clip(cosmin - 1e-4, -1.0, 1.0)
                     sinw = jnp.sqrt(jnp.maximum(1.0 - cosw * cosw, 0.0))
                     d_ax = lcx * bax + lcy * bay + lcz * baz
@@ -880,17 +986,22 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     # signed distance to the cone boundary in the
                     # (axial, radial) plane; negative = inside cone
                     e = perp * cosw - d_ax * sinw
-                    reach = ~(e > srs + r0)
-                # pack reach bits into NW 32-bit SMEM words
-                w_of = (jax.lax.broadcasted_iota(
-                    I32, (NSR, LANES), 0) * (LANES // 32)
-                    + jax.lax.broadcasted_iota(
-                        I32, (NSR, LANES), 1) // 32)
+                    reach_rows = ~(e > srs + r0)
+                reach = jnp.max((reach_rows & row_act).astype(I32),
+                                axis=0, keepdims=True)     # (1, NSL)
+                # pack reach bits into NW 32-bit SMEM words; shadow
+                # passes AND in the static per-light blocker union
+                # accumulated by this segment's nearest-pass commits
+                w_of = jax.lax.broadcasted_iota(
+                    I32, (1, NSL), 1) // 32
                 b_of = jax.lax.broadcasted_iota(
-                    I32, (NSR, LANES), 1) % 32
-                val = reach.astype(I32) << b_of
+                    I32, (1, NSL), 1) % 32
+                val = reach << b_of
                 for w in range(NW):
-                    umask_s[w] = jnp.sum(jnp.where(w_of == w, val, 0))
+                    word = jnp.sum(jnp.where(w_of == w, val, 0))
+                    if lsort_on and shadow:
+                        word = word & shu_s[light * NW + w]
+                    umask_s[w] = word
 
             rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
                     olx, oly, olz, wmask)
@@ -906,6 +1017,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                            hlx_s, hly_s, hlz_s):
                     r_[:] = zs
                 mat_s[:] = zis
+                if lsort_on:
+                    for i_ in range(NL * NW):
+                        shu_s[i_] = 0
 
             def bit_ok(s):
                 return ((umask_s[s // 32] >> (s % 32)) & 1) != 0
@@ -1113,7 +1227,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     Fr = jnp.where(fres_lanes, Fr, 0.0)
                 else:
                     Fr = z
-                Fr = jnp.where(tir, 1.0, Fr)
+                if any_fresnel:
+                    # TIR folds transparency into reflectivity ONLY
+                    # under Fresnel (tracer.cpp:3268-3301 is inside
+                    # RT_FEAT_FRESNEL); without it the reference's TIR
+                    # lanes transmit zero and gain no reflectivity
+                    Fr = jnp.where(tir, 1.0, Fr)
                 c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
                 c_rfl = m_rfl + m_trn * Fr
                 if any_rf_fresnel:
@@ -1235,8 +1354,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         # ---- main loop -------------------------------------------------
         if resume:
             (thr_r_r, thg_r, thb_r, dep_r, osrf_r, osd_r, thru_r,
-             olx_r, oly_r, olz_r, act_r) = rest_refs[:11]
-            out_refs = rest_refs[11:]
+             olx_r, oly_r, olz_r, act_r, ac_r_r, ac_g_r,
+             ac_b_r) = rest_refs[:14]
+            out_refs = rest_refs[14:]
         else:
             out_refs = rest_refs
         ox = ox_r[:]
@@ -1303,7 +1423,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 r_dot = lvx * nx + lvy * ny + lvz * nz
                 lit = (r_dot > 0.0) & hit
                 occ = intersect(hx, hy, hz, lvx, lvy, lvz, z, one_t,
-                                bsrf, bside, zb, hlx, hly, hlz, True, lit)
+                                bsrf, bside, zb, hlx, hly, hlz, True,
+                                lit, light=l)
                 hm = lit & ~(occ != 0)
                 if emit_paths:
                     occ_rec = occ_rec | ((~hm).astype(I32) << (16 + l))
@@ -1380,7 +1501,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     Fr = jnp.where(fres_lanes, Fr, 0.0)
                 else:
                     Fr = z
-                Fr = jnp.where(tir, 1.0, Fr)
+                if any_fresnel:
+                    # TIR folds transparency into reflectivity ONLY
+                    # under Fresnel (tracer.cpp:3268-3301 is inside
+                    # RT_FEAT_FRESNEL); without it the reference's TIR
+                    # lanes transmit zero and gain no reflectivity
+                    Fr = jnp.where(tir, 1.0, Fr)
                 c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
                 c_rfl = m_rfl + m_trn * Fr
             else:
@@ -1551,11 +1677,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         ND = D if (any_cont and struct.can_push) else 1
         stk0 = tuple(tuple(z for _ in range(15)) for _ in range(ND))
         if resume:
+            # accumulators resume from the emitted values so the whole
+            # multi-round color sum is the SAME f32 addition chain as
+            # the monolithic kernel (bitwise-identical output)
             st0 = (ox, oy, oz, dx, dy, dz, tmn,
                    thr_r_r[:], thg_r[:], thb_r[:], dep_r[:], osrf_r[:],
                    osd_r[:], thru_r[:],
                    olx_r[:], oly_r[:], olz_r[:],
-                   act_r[:], z, z, z, zi, stk0,
+                   act_r[:], ac_r_r[:], ac_g_r[:], ac_b_r[:], zi, stk0,
                    jnp.zeros((), I32))
         else:
             st0 = (ox, oy, oz, dx, dy, dz, tmn,
@@ -1576,7 +1705,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         cg_r[:] = out[19]
         cb_r[:] = out[20]
         if emit_state:
-            for ref, val in zip(out_refs[3:], out[:18]):
+            for ref, val in zip(out_refs[3:], out[:21]):
                 ref[:] = val
         if emit_paths:
             for k in range(emit_paths):
@@ -1699,10 +1828,10 @@ _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
 _get_packed = _SceneCache(_pack_jit)
 
 
-def _scene_specs(ps: PackedScene, cull_on: bool):
+def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False):
     """(extra input specs, extra scratch) shared by every dispatch:
-    texture atlas + LUT (+ transposed sphere table and the SMEM umask
-    scratch when culling)."""
+    texture atlas + LUT (+ transposed sphere table, the SMEM umask
+    scratch, and the shadow-union scratch when culling)."""
     G = ps.tex_pk.shape[0]
     tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -1711,11 +1840,13 @@ def _scene_specs(ps: PackedScene, cull_on: bool):
     specs = [tex_spec, lut_spec]
     scratch = []
     if cull_on:
-        NSRd = ps.bsph_t.shape[1]
-        specs.append(pl.BlockSpec((4, NSRd, LANES),
+        NSL = ps.bsph_t.shape[2]
+        specs.append(pl.BlockSpec((4, 1, NSL),
                                   lambda i, *_: (0, 0, 0),
                                   memory_space=pltpu.VMEM))
-        scratch.append(pltpu.SMEM((-(-(NSRd * LANES) // 32),), I32))
+        scratch.append(pltpu.SMEM((-(-NSL // 32),), I32))
+    if lsort_on:
+        scratch.append(pltpu.SMEM((ps.shad_msk.shape[1],), I32))
     return specs, scratch
 
 
@@ -1739,14 +1870,18 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     assert R % sub == 0, f"ray tiles must pad to sub={sub} rows, got {R}"
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
+    lsort_on = cull_on and cfg.lsort and struct.nl > 0
     use_cand = _cand_period(struct, cfg, R, cand_period, sub)
     kern = _make_kernel(struct, cfg, use_cand=use_cand)
     # index_map receives the scalar-prefetch refs after the grid index
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
     npf = 6
     pre = []
+    if lsort_on:
+        pre.append(ps.shad_msk)
+        npf += 1
     if use_cand:
         tiles7 = (ox, oy, oz, dx, dy, dz, tm)
         pre.append(_build_candidates(ps, struct, tiles7, use_cand, sub))
@@ -1777,15 +1912,19 @@ def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     sub = cfg.sub
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
+    lsort_on = cull_on and cfg.lsort and struct.nl > 0
     use_cand = _cand_period(struct, cfg, R, sub=sub)
     cfgk = cfg._replace(max_segments=k_paths)
     kern = _make_kernel(struct, cfgk, emit_paths=k_paths,
                         use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
     npf = 6
     pre = []
+    if lsort_on:
+        pre.append(ps.shad_msk)
+        npf += 1
     if use_cand:
         pre.append(_build_candidates(
             ps, struct, (ox, oy, oz, dx, dy, dz, tm), use_cand, sub))
@@ -2029,39 +2168,52 @@ def _prep_and_trace_paths(ps: PackedScene, org, dirs, t_min,
 
 
 _STATE_I32 = (3, 4, 5, 6, 10)   # depth, osrf, oside, thru, active slots
-# state tile order: thr r/g/b, depth, osrf, oside, thru, oloc x/y/z, active
+# state tile order: thr r/g/b, depth, osrf, oside, thru, oloc x/y/z,
+# active, acc r/g/b
 
 
-@partial(jax.jit, static_argnames=("struct", "cfg", "interpret"))
+@partial(jax.jit, static_argnames=("struct", "cfg", "interpret",
+                                   "cand_period"))
 def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
                       struct: KernelStruct, cfg: TraceConfig,
-                      interpret: bool):
+                      interpret: bool, cand_period: int = 0):
     """Round-1 dispatch: colors + the 18-tile resumable ray state."""
     R = ox.shape[0]
     sub = cfg.sub
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
-    kern = _make_kernel(struct, cfg, emit_state=True)
+    lsort_on = cull_on and cfg.lsort and struct.nl > 0
+    use_cand = _cand_period(struct, cfg, R, cand_period, sub)
+    kern = _make_kernel(struct, cfg, emit_state=True, use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
+    npf = 6
+    pre = []
+    if lsort_on:
+        pre.append(ps.shad_msk)
+        npf += 1
+    if use_cand:
+        pre.append(_build_candidates(
+            ps, struct, (ox, oy, oz, dx, dy, dz, tm), use_cand, sub))
+        npf += 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=npf,
         grid=(grid,),
         in_specs=[ray_spec] * 7 + sc_specs,
-        out_specs=[ray_spec] * 21,
+        out_specs=[ray_spec] * 24,
         scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     f32s = jax.ShapeDtypeStruct((R, LANES), F32)
     i32s = jax.ShapeDtypeStruct((R, LANES), I32)
-    # colors 3 + state 18: ox..tmn(7 f32), thr(3 f32), depth/osrf/oside/
-    # thru(4 i32), oloc(3 f32), active(1 i32)
+    # colors 3 + state 21: ox..tmn(7 f32), thr(3 f32), depth/osrf/oside/
+    # thru(4 i32), oloc(3 f32), active(1 i32), acc rgb(3 f32)
     out_shape = ([f32s] * 3 + [f32s] * 7 + [f32s] * 3 + [i32s] * 4
-                 + [f32s] * 3 + [i32s])
+                 + [f32s] * 3 + [i32s] + [f32s] * 3)
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc,
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, *pre,
       ox, oy, oz, dx, dy, dz, tm, *_scene_args(ps, cull_on))
 
 
@@ -2077,28 +2229,32 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
     giving 64/sub-times finer retirement granularity for the deep tail."""
     R = state[0].shape[0]
     cull_on = cfg.cull and any(struct.bnd)
+    lsort_on = cull_on and cfg.lsort and struct.nl > 0
     kern = _make_kernel(struct, cfg, resume=True)
+    # blist is always the LAST scalar-prefetch operand
     ray_spec = pl.BlockSpec(
         (sub, LANES),
-        lambda i, sp_f, sp_i, cl_f, mat_f, lg_f, misc, blk: (blk[i], 0),
+        lambda i, *pf: (pf[-1][i], 0),
         memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
     # input order must match kernel signature: 7 primary tiles, tex, lut
-    # (+ sphere table), then the 11 resume tiles; blist rides as the 7th
+    # (+ sphere table), then the 14 resume tiles; blist rides as the 7th
     # prefetch operand
     ins = state[:7] + _scene_args(ps, cull_on) + state[7:]
+    pre = (ps.shad_msk,) if lsort_on else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=7 + len(pre),
         grid=(n_blocks,),
-        in_specs=[ray_spec] * 7 + sc_specs + [ray_spec] * 11,
+        in_specs=[ray_spec] * 7 + sc_specs + [ray_spec] * 14,
         out_specs=[ray_spec] * 3,
         scratch_shapes=_hit_scratch(sub) + sc_scratch,
     )
     return pl.pallas_call(
         kern, out_shape=out_shape, grid_spec=grid_spec,
         interpret=interpret,
-    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, blist, *ins)
+    )(ps.sp_f, ps.sp_i, ps.cl_f, ps.mat_f, ps.lg_f, ps.misc, *pre,
+      blist, *ins)
 
 
 @partial(jax.jit, static_argnames=("struct", "cfg", "k1", "interpret",
@@ -2122,11 +2278,85 @@ def _trace_rounds_impl(ps, ox, oy, oz, dx, dy, dz, tm,
     cr2, cg2, cb2 = _trace_tiled_resume(ps, state, blist, n_blocks,
                                         struct=struct, cfg=cfg2,
                                         interpret=interpret, sub=sub2)
-    # rows of unvisited blocks hold garbage: mask them out
+    # visited rows carry the CONTINUED accumulation (the resume state
+    # now includes the color accumulators, so the multi-round sum is
+    # the same f32 addition chain as the monolithic kernel); unvisited
+    # blocks hold garbage -> keep round-1 colors
     rowmask = jnp.repeat(blk_act, sub2)[:, None]   # (R, 1)
 
     def merge(c1, c2):
-        return c1 + jnp.where(rowmask, c2, 0.0)
+        return jnp.where(rowmask, c2, c1)
+
+    return merge(cr1, cr2), merge(cg1, cg2), merge(cb1, cb2)
+
+
+@partial(jax.jit, static_argnames=("struct", "cfg", "k1", "sub2",
+                                   "interpret", "cand_period"))
+def _trace_wavefront_impl(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
+                          struct: KernelStruct, cfg: TraceConfig,
+                          k1: int, sub2: int, interpret: bool,
+                          cand_period: int = 0):
+    """Wavefront tracing: primary round + ROW-compacted secondary round.
+
+    The reference culls secondary rays per 4-16-ray packet (AR_ptr
+    bounding-sphere skip, tracer.cpp:3953-4056) — tiny packets keep
+    bundle tests effective even for divergent rays. Our block is 8,192
+    rays, and measurement shows deep scenes keep whole blocks alive with
+    rays from a handful of originating surfaces mixed together, so the
+    block bundle cone goes wide and the reach guards stop firing. This
+    driver restores packet-like coherence by SORTING between rounds:
+
+      1. round 1 renders k1 segments with per-block candidate lists and
+         emits the resumable ray state;
+      2. the 128-lane state ROWS are sorted by (any-lane-active,
+         max active originating surface) — a ~R-key sort + contiguous
+         512 B row gathers, O(ms) of XLA work, no Pallas involvement;
+      3. round 2 resumes over ceil(active_rows / sub2) DENSE blocks
+         (dynamic grid): each block now holds rays that mostly share an
+         originating surface, so its bundle cone is tight again, the
+         reach bitmask fires, and fully-retired rows are never visited;
+      4. round-2 colors are un-permuted and added to round 1's.
+
+    This is the scheduler the reference spreads across ssort/lsort/
+    tilebuffer, recast as sort-compact-resume — the idiomatic TPU form.
+    """
+    cfg1 = cfg._replace(max_segments=min(k1, cfg.max_segments))
+    cfg2 = cfg._replace(max_segments=cfg.max_segments - cfg1.max_segments)
+    outs = _trace_tiled_emit(ps, ox, oy, oz, dx, dy, dz, tm,
+                             struct=struct, cfg=cfg1, interpret=interpret,
+                             cand_period=cand_period)
+    cr1, cg1, cb1 = outs[:3]
+    state = outs[3:]
+    if cfg2.max_segments <= 0:
+        return cr1, cg1, cb1
+    R = cr1.shape[0]
+    active = state[17]                       # (R, 128) i32
+    osrf = state[11]
+    row_act = jnp.any(active != 0, axis=1)
+    # compact by ACTIVITY only (stable: surviving rows keep screen
+    # order). Grouping rows by originating surface was measured WORSE —
+    # it scatters ray origins across the frame, so the resumed blocks'
+    # origin boxes blow up and the reach guards stop firing; screen
+    # order preserves both origin and direction locality.
+    del osrf
+    row_key = jnp.where(row_act, 0, 1).astype(I32)
+    rowperm = jnp.argsort(row_key, stable=True).astype(I32)
+    n_rows = jnp.sum(row_act.astype(I32))
+    n_blocks = jnp.maximum(-(-n_rows // sub2), 1)
+    stateg = tuple(a[rowperm] for a in state)
+    blist = jnp.arange(R // sub2, dtype=I32)
+    cr2, cg2, cb2 = _trace_tiled_resume(ps, stateg, blist, n_blocks,
+                                        struct=struct, cfg=cfg2,
+                                        interpret=interpret, sub=sub2)
+    # visited rows carry the CONTINUED accumulation (the resume state
+    # includes the color accumulators: same f32 addition chain as the
+    # monolithic kernel, bitwise); unvisited rows hold garbage -> keep
+    # round-1 colors
+    valid = (jnp.arange(R, dtype=I32) < n_blocks * sub2)[:, None]
+    inv = jnp.argsort(rowperm).astype(I32)
+
+    def merge(c1, c2):
+        return jnp.where(valid[inv], c2[inv], c1)
 
     return merge(cr1, cr2), merge(cg1, cg2), merge(cb1, cb2)
 
@@ -2221,6 +2451,27 @@ def _prep_and_trace_rounds(ps: PackedScene, org, dirs, t_min,
 ROUNDS_K1 = 4     # product-path round-1 segment budget
 ROUNDS_SUB2 = 8   # product-path round-2 retirement granularity (rows)
 
+WAVE_K1 = 1       # wavefront round-1 segment budget (primary only)
+WAVE_SUB2 = 8     # wavefront round-2 block height (rows)
+WAVE_MIN_NS = 32  # wavefront pays off on many-surface scenes only
+
+
+def use_wavefront(struct: KernelStruct, cfg: TraceConfig) -> bool:
+    """Product-path heuristic for sort-compacted wavefront tracing.
+
+    Measured OFF (round 5): with the lsort shadow masks + commit gating
+    + the no-Fresnel TIR fix in the monolithic kernel, the wavefront
+    rounds LOSE on every target scene (test13 14.1 vs 9.0 ms, demo03
+    31.7 vs 15.2 — r5 logs): the boundary sort itself is cheap
+    (~0.09 ms/frame) but round 2 re-pays per-block fixed costs over
+    mostly-still-active rows (demo03 keeps 90% of rows active after the
+    primary segment), and grouping rows by originating surface scatters
+    ray origins so the reach guards fire LESS. The machinery stays
+    (_trace_wavefront_impl, bitwise-identical by construction) for
+    workloads with sparse deep tails."""
+    del struct, cfg
+    return False
+
 
 def use_rounds(struct: KernelStruct) -> bool:
     """Product-path heuristic for the two-round in-place retirement.
@@ -2255,6 +2506,11 @@ def trace_tiles(ps: PackedScene, tiles, struct: KernelStruct,
         return _trace_rounds_impl(ps, *tiles, struct=struct, cfg=cfg,
                                   k1=ROUNDS_K1, interpret=interpret,
                                   sub2=ROUNDS_SUB2)
+    if use_wavefront(struct, cfg):
+        return _trace_wavefront_impl(ps, *tiles, struct=struct, cfg=cfg,
+                                     k1=WAVE_K1, sub2=WAVE_SUB2,
+                                     interpret=interpret,
+                                     cand_period=cand_period)
     return _trace_tiled(ps, *tiles, struct=struct, cfg=cfg,
                         interpret=interpret, cand_period=cand_period)
 

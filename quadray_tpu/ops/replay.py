@@ -7,7 +7,7 @@ The differentiable pixel function is split TPU-first:
     bits — see pallas_kernel._make_kernel emit_paths);
   * this module re-evaluates the color as a pure differentiable function
     of the scene parameters along those saved paths — O(N*K) work with
-    one-hot MXU gathers, no per-surface loop, SoA component arrays.
+    take-based row gathers, no per-surface loop, SoA component arrays.
 
 The discrete path structure is detached (piecewise-constant in the
 parameters), exactly the framework's documented differentiability
@@ -40,7 +40,6 @@ from quadray_tpu.ops.trace import TraceConfig
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = 1e30
-_HI = jax.lax.Precision.HIGHEST
 
 
 def _sdiv(num, den, fallback=BIG):
@@ -96,8 +95,6 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
     one = jnp.ones((N,), F32)
     thr_r = thr_g = thr_b = one
     acc_r = acc_g = acc_b = jnp.zeros((N,), F32)
-    ar = jnp.arange(NS)[None, :]
-    arm = jnp.arange(NM)[None, :]
 
     for k in range(K):
         rec = paths[k]
@@ -108,8 +105,11 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         hit = ((rec >> 15) & 1) != 0
         hitf = hit.astype(F32)
 
-        oh = (srf[:, None] == ar).astype(F32)
-        P = jnp.matmul(oh, stab, precision=_HI)          # (N, 19)
+        # row gather (jnp.take) instead of a one-hot (N, NS) matmul:
+        # the one-hot materialized N*NS floats of HBM traffic per
+        # segment — the entire round-4 training cost; backward is a
+        # segment-sum scatter-add XLA handles natively
+        P = jnp.take(stab, srf, axis=0)                  # (N, 19)
         px, py, pz = P[:, 0], P[:, 1], P[:, 2]
         (i00, i01, i02, i10, i11, i12, i20, i21, i22) = (
             P[:, 3], P[:, 4], P[:, 5], P[:, 6], P[:, 7], P[:, 8],
@@ -175,8 +175,7 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         nx, ny, nz = nx * nn, ny * nn, nz * nn
 
         midx = jnp.where(sidep, mat_t[srf, 0], mat_t[srf, 1])
-        ohm = (midx[:, None] == arm).astype(F32)
-        M = jnp.matmul(ohm, mtab, precision=_HI)          # (N, 10)
+        M = jnp.take(mtab, midx, axis=0)                  # (N, 10)
         mc_r, mc_g, mc_b = M[:, 0], M[:, 1], M[:, 2]
         m_dff, m_spc, m_pow = M[:, 3], M[:, 4], M[:, 5]
         m_rfl, m_trn, m_rfr, m_ext = M[:, 6], M[:, 7], M[:, 8], M[:, 9]
@@ -248,7 +247,9 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         rp = _sdiv(dot + eta * sqk, dot - eta * sqk, 1.0)
         Fr = jnp.clip(0.5 * (rs * rs + rp * rp), 0.0, 1.0)
         Fr = jnp.where(fres_lanes, Fr, 0.0)
-        Fr = jnp.where(tir, 1.0, Fr)
+        # TIR reflectivity fold only under Fresnel (tracer.cpp:3268-3301
+        # is inside RT_FEAT_FRESNEL; see ops/trace.py fresnel_terms)
+        Fr = jnp.where(tir & fres_lanes, 1.0, Fr)
         c_trn = jnp.where(tir, 0.0, m_trn * (1.0 - Fr))
         c_rfl = m_rfl + m_trn * Fr
         # RF-section Fresnel for opaque reflective Fresnel materials

@@ -97,6 +97,12 @@ class TraceConfig(NamedTuple):
     # list analog, engine.cpp:3129-3253, at screen-tile granularity):
     # the peeled first segment loops over len(candidates[block])
     # surfaces instead of NS. Ignored when cull is False
+    lsort: bool = True       # static per-(receiver-surface, light)
+    # shadow blocker masks (the lsort per-light shadow list analog,
+    # engine.cpp:2456-2757): a blocker can occlude light L for hits on
+    # surface R only if its sphere meets the capsule hull of (L, R's
+    # sphere); the kernel ANDs the union of the block's receiver masks
+    # into the shadow reach bitmask. Ignored when cull is False
     sub: int = 64            # kernel block height in sublanes: one
     # on-chip block = sub*128 rays = a tile_shape(fsaa, sub*128) screen
     # window. 64 amortizes per-surface scalar work over 8192 rays; 8
@@ -517,7 +523,13 @@ def fresnel_terms(sc: SceneArrays, midx, d, n,
         F = 0.5 * (rs * rs + rp * rp)
     F = jnp.clip(F, 0.0, 1.0)
     F = jnp.where(fres_on, F, 0.0)
-    F = jnp.where(tir, 1.0, F)
+    # total internal reflection folds transparency into reflectivity
+    # ONLY under Fresnel (tracer.cpp:3268-3301 is inside
+    # RT_FEAT_FRESNEL): without it the reference's refraction sqrt goes
+    # NaN for TIR lanes and the transmitted ray hits nothing — TIR
+    # lanes transmit zero and gain NO reflectivity (root cause of the
+    # round-4 demo02 band and the test13 TIR region)
+    F = jnp.where(tir & fres_on, 1.0, F)
 
     c_trn = trn * (1.0 - F)
     c_rfl = rfl + trn * F

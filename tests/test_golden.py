@@ -31,8 +31,8 @@ CASES = [
     ("test10", "ref_test10.bmp", 0),
     ("test11", "ref_test11.bmp", 8),     # actual 6
     ("test12", "ref_test12.bmp", 0),
-    ("test13", "ref_test13.bmp", 1650),  # actual 1641: fp frame-convention
-    # flips on glass-slab TIR paths, see KNOWN_ISSUES.md
+    ("test13", "ref_test13.bmp", 0),     # exact since the no-Fresnel TIR
+    # fold fix (round 5, see KNOWN_ISSUES.md)
     ("test14", "ref_test14.bmp", 3),     # actual 2
     ("test15", "ref_test15.bmp", 0),
     ("test16", "ref_test16.bmp", 45),    # actual 38 CPU / 42 TPU: clip

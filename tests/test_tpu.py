@@ -30,11 +30,10 @@ SCENES = (FAST_SCENES if os.environ.get("QUADRAY_TPU_FAST") == "1"
           else ALL_SCENES)
 
 # hardware golden budgets for the PALLAS path, set to measured actuals
-# (no slack; see KNOWN_ISSUES.md for the frame-convention analysis)
-BUDGET = {"test11": 8, "test13": 1650, "test14": 3, "test16": 45,
-          # demo02: +4..12/255 brighter band below the horizon line —
-          # under investigation (KNOWN_ISSUES.md); demo01/03 clean
-          "demo02": 2680, "demo03": 3}
+# (no slack; see KNOWN_ISSUES.md for the frame-convention analysis).
+# test13 and demo02 dropped to 0 in round 5: the no-Fresnel TIR fold
+# fix (ops/trace.py fresnel_terms) closed both.
+BUDGET = {"test11": 8, "test14": 3, "test16": 45, "demo03": 3}
 
 
 def _render_pallas(name, use_kernel=True):
