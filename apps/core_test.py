@@ -8,7 +8,7 @@ Additionally cross-checks the Pallas megakernel against the jnp tracer
 (the "optimized vs brute-force" differential of the original, re-targeted
 at kernel vs reference implementation).
 
-  -b n / -e n   first/last run level (default 1..17)
+  -b n / -e n   first/last run level (default 1..18)
   -x/-y         resolution (default 800x480 to match goldens)
   -i            save rendered/diff images to dump/
   -t n          diff threshold (default 3)

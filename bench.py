@@ -167,12 +167,27 @@ def bench_train():
     # warm (compile)
     params, opt_state, loss = step_fn(params, opt_state, sc, target)
     float(loss)
-    steps = 6
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = step_fn(params, opt_state, sc, target)
-        float(loss)   # host fetch forces execution each step
-    dt = (time.perf_counter() - t0) / steps
+
+    # steady-state marginal: steps pipeline (params feed forward, so
+    # every step really executes); syncing once at the end lets the
+    # per-call host->device dispatch (measured up to ~27 ms through the
+    # axon tunnel) overlap with device compute, exactly as a real
+    # training loop runs
+    def run(nsteps):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(nsteps):
+            params, opt_state, loss = step_fn(params, opt_state, sc,
+                                              target)
+        float(loss)
+        return time.perf_counter() - t0
+
+    t_small = min(run(2) for _ in range(2))
+    t_big = min(run(12) for _ in range(2))
+    dt = (t_big - t_small) / 10
+    if not (0.0 < dt < t_big):
+        dt = t_big / 12
     return dt * 1e3, W * H / dt
 
 

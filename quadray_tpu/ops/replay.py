@@ -71,6 +71,20 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
     if org.ndim == 1:
         org = jnp.broadcast_to(org[None, :], (N, 3))
 
+    # everything runs on (R, 128) lane-major tiles: 1-D (N,) layouts on
+    # TPU can land sublane-major and waste the whole vector unit (the
+    # round-4/5 replay cost was exactly this), and tiled shapes keep
+    # every elementwise chain on dense (8, 128) vregs
+    npad = -(-N // 128) * 128
+    pad = npad - N
+    R = npad // 128
+
+    def _tile2(a, fill=0.0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,), fill, a.dtype)])
+        return a.reshape(R, 128)
+
     # differentiable per-surface float table (NS, 19):
     # pos 0-2, inv 3-11, sci 12-14, scjh 15-17, sciw 18
     stab = jnp.concatenate([
@@ -90,14 +104,20 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
     use_fresnel = sc.use_fresnel > 0.0
     amb_r, amb_g, amb_b = sc.amb_col[0], sc.amb_col[1], sc.amb_col[2]
 
-    ox, oy, oz = org[:, 0], org[:, 1], org[:, 2]
-    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
-    one = jnp.ones((N,), F32)
+    orgT = org.T
+    dirsT = dirs.T
+    ox, oy, oz = (_tile2(orgT[0]), _tile2(orgT[1]),
+                  _tile2(orgT[2]))
+    dx, dy, dz = (_tile2(dirsT[0]), _tile2(dirsT[1]),
+                  _tile2(dirsT[2]))
+    one = jnp.ones((R, 128), F32)
     thr_r = thr_g = thr_b = one
-    acc_r = acc_g = acc_b = jnp.zeros((N,), F32)
+    acc_r = acc_g = acc_b = jnp.zeros((R, 128), F32)
+    stabT = stab.T                                   # (19, NS)
+    mtabT = mtab.T                                   # (10, NM)
 
     for k in range(K):
-        rec = paths[k]
+        rec = _tile2(paths[k], 0)
         srf = rec & 0xFFF
         sidep = ((rec >> 12) & 1) == 1
         sf = jnp.where(sidep, 1.0, -1.0)
@@ -105,18 +125,18 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         hit = ((rec >> 15) & 1) != 0
         hitf = hit.astype(F32)
 
-        # row gather (jnp.take) instead of a one-hot (N, NS) matmul:
-        # the one-hot materialized N*NS floats of HBM traffic per
-        # segment — the entire round-4 training cost; backward is a
-        # segment-sum scatter-add XLA handles natively
-        P = jnp.take(stab, srf, axis=0)                  # (N, 19)
-        px, py, pz = P[:, 0], P[:, 1], P[:, 2]
+        # transposed-table row gathers (one (19, R, 128) take instead
+        # of one-hot matmuls): leading table axis keeps each gathered
+        # component a dense (R, 128) tile; backward is a segment-sum
+        # scatter-add XLA handles natively
+        P = stabT[:, srf]                                # (19, R, 128)
+        px, py, pz = P[0], P[1], P[2]
         (i00, i01, i02, i10, i11, i12, i20, i21, i22) = (
-            P[:, 3], P[:, 4], P[:, 5], P[:, 6], P[:, 7], P[:, 8],
-            P[:, 9], P[:, 10], P[:, 11])
-        sx, sy, sz_ = P[:, 12], P[:, 13], P[:, 14]
-        jx, jy, jz = P[:, 15], P[:, 16], P[:, 17]
-        sw = P[:, 18]
+            P[3], P[4], P[5], P[6], P[7], P[8],
+            P[9], P[10], P[11])
+        sx, sy, sz_ = P[12], P[13], P[14]
+        jx, jy, jz = P[15], P[16], P[17]
+        sw = P[18]
 
         rx, ry, rz = ox - px, oy - py, oz - pz
         lx = i00 * rx + i01 * ry + i02 * rz
@@ -174,11 +194,11 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
                                        1e-30))
         nx, ny, nz = nx * nn, ny * nn, nz * nn
 
-        midx = jnp.where(sidep, mat_t[srf, 0], mat_t[srf, 1])
-        M = jnp.take(mtab, midx, axis=0)                  # (N, 10)
-        mc_r, mc_g, mc_b = M[:, 0], M[:, 1], M[:, 2]
-        m_dff, m_spc, m_pow = M[:, 3], M[:, 4], M[:, 5]
-        m_rfl, m_trn, m_rfr, m_ext = M[:, 6], M[:, 7], M[:, 8], M[:, 9]
+        midx = jnp.where(sidep, mat_t[:, 0][srf], mat_t[:, 1][srf])
+        M = mtabT[:, midx]                                # (10, R, 128)
+        mc_r, mc_g, mc_b = M[0], M[1], M[2]
+        m_dff, m_spc, m_pow = M[3], M[4], M[5]
+        m_rfl, m_trn, m_rfr, m_ext = M[6], M[7], M[8], M[9]
         props = props_t[midx]
         bit = lambda p: (props & p) != 0
         gam = bit(PROP_GAMMA) & use_gamma
@@ -296,4 +316,5 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         oy = jnp.where(cont, wy, oy)
         oz = jnp.where(cont, wz, oz)
 
-    return jnp.stack([acc_r, acc_g, acc_b], axis=-1)
+    return jnp.stack([acc_r.reshape(-1)[:N], acc_g.reshape(-1)[:N],
+                      acc_b.reshape(-1)[:N]], axis=-1)

@@ -51,6 +51,19 @@ from quadray_tpu.scene.compile import (
 F32 = jnp.float32
 I32 = jnp.int32
 BIG = jnp.float32(1e30)
+
+
+def set_element(dtype) -> None:
+    """RT_ELEMENT analog (rtbase.h:331-361): switch the jnp reference
+    tracer's element type. The reference ships an fp32/fp64 binary
+    matrix (core_make_x64.mk:44 x64f32/x64f64); here the same tracer
+    code runs in either precision — float64 requires
+    ``jax.config.update('jax_enable_x64', True)`` first. Jit caches key
+    on input dtypes, so both tiers coexist in one process; scene tables
+    must be upcast by the caller (see tests/test_fp64.py)."""
+    global F32, BIG
+    F32 = dtype
+    BIG = dtype(1e30)
 # All K=3 geometry contractions are written as EXPLICIT elementwise
 # mul/add chains (never einsum/matmul): XLA:TPU lowers matmuls to MXU
 # passes whose rounding differs from IEEE mul+add by ~1 ulp, which is

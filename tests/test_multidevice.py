@@ -105,6 +105,50 @@ def test_train_step_device_count_invariant(sc):
                                    err_msg=k)
 
 
+def test_train_step_fast_device_count_invariant(sc):
+    """The FAST training path (Pallas path-record emit + differentiable
+    trace replay, parallel/train.make_train_step_fast) computes the
+    same loss and updated parameters on 1 vs 8 devices: path records
+    are per-ray (sharding-invariant), and the pmean grad all-reduce
+    only reassociates fp sums. Kernel runs in interpret mode on the
+    CPU mesh; sub=8 keeps the per-shard ray padding small."""
+    _need8()
+    from quadray_tpu.parallel.train import (make_train_step_fast,
+                                            extract_params)
+    from quadray_tpu.ops.trace import trace_rays
+    from quadray_tpu.ops.rays import camera_rays
+
+    w, h = 64, 32
+    cfg = CFG._replace(sub=8)
+    org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                             sc.cam_nrm, sc.cam_pov, w, h, 1)
+    n = dirs.shape[0]
+    org = jnp.broadcast_to(org1[None, :], (n, 3))
+    t_min = jnp.full((n,), sc.cam_pov, jnp.float32)
+    target = jnp.clip(trace_rays(sc, org, dirs, t_min, cfg), 0.0, 1.0)
+    sc_pert = sc.replace(m_col=jnp.clip(sc.m_col + 0.1, 0.0, 1.0))
+
+    results = {}
+    for nd in (1, 8):
+        step, opt_init = make_train_step_fast(
+            ray_mesh(jax.devices()[:nd]), sc_pert, w, h, cfg=cfg,
+            lr=1e-2, fields=("m_col", "l_col"), k_paths=4,
+            interpret=True)
+        params = extract_params(sc_pert, ("m_col", "l_col"))
+        opt_state = opt_init(params)
+        params, opt_state, loss = step(params, opt_state, sc_pert,
+                                       target)
+        results[nd] = (float(loss), jax.device_get(params))
+
+    l1, p1 = results[1]
+    l8, p8 = results[8]
+    assert np.isfinite(l1)
+    assert np.isclose(l1, l8, rtol=1e-5), (l1, l8)
+    for k in p1:
+        np.testing.assert_allclose(p1[k], p8[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_scaling_report_harness(sc):
     """Smoke the scaling-efficiency harness on the CPU mesh (the >=85%
     north-star gate applies on real multi-chip hardware; here we only
