@@ -67,6 +67,7 @@ from quadray_tpu.scene.compile import (
     PROP_REFRACT, PROP_DIFFUSE, PROP_SPECULAR, PROP_TEXTURE, PROP_FRESNEL,
     PROP_TRANSP, PROP_GAMMA, CLIP_SURF, CLIP_ENTER, CLIP_LEAVE, CLIP_NONE)
 from quadray_tpu.ops.trace import TraceConfig, D_EPS, T_EPS
+from quadray_tpu.ops.pt import PT_SHALLOW, PT_STACK as PT_SD
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -443,6 +444,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     # plus 14 scratch tiles, at SUB x 128 x 4 B each. Fails loudly with
     # the knob to turn instead of a late Mosaic allocation error.
     tiles = 23 + 14 + (15 * cfg.stack if struct.can_push else 0)
+    if pt:
+        # PT split-tree state: 26 ray tiles + 16-tile sibling slots
+        tiles = 26 + 14 + 16 * PT_SD
     vmem_mb = tiles * cfg.sub * LANES * 4 / 2**20
     assert vmem_mb < 96, (
         f"kernel carry needs ~{vmem_mb:.0f} MiB VMEM "
@@ -1156,7 +1160,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             def pt_body(st, primary=False):
                 (ox, oy, oz, dx, dy, dz, tmn, thr_r, thr_g, thr_b,
                  osrf, oside, thru_i, olx, oly, olz, act_i,
-                 acc_r, acc_g, acc_b, seed, it) = st
+                 acc_r, acc_g, acc_b, seed, dep, sp, stk, it) = st
                 thru = thru_i != 0
                 active = act_i != 0
                 hitres = intersect(ox, oy, oz, dx, dy, dz, tmn, big_t,
@@ -1255,17 +1259,52 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     rf_mask = flag_vec_of(rf_fres_mats, bmat)
                     c_rfl = jnp.where(rf_mask, m_rfl * f_rf, c_rfl)
 
-                p_dif = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
-                seed, ub = lcg_uniform(seed)
+                # ---- split-tree children (ops/pt.py trace_pt,
+                # lane-for-lane: same draw order u1 u2 u_rr u_split) --
                 seed, u1 = lcg_uniform(seed)
                 seed, u2 = lcg_uniform(seed)
-                pick_rfl = ub < c_rfl
-                pick_trn = (~pick_rfl) & (ub < c_rfl + c_trn)
+                seed, urr = lcg_uniform(seed)
+                seed, usplit = lcg_uniform(seed)
+
+                emissive = flag_vec(PROP_LIGHT, bmat)
+                if emissive is None:
+                    emissive = zb
+                can_rec = hit & ~emissive & (dep < cfg.depth)
+                opq = flag_vec(PROP_OPAQUE, bmat)
+                if opq is None:
+                    opq = zb
+                # Fresnel branch weights: both at the top PT_SHALLOW
+                # levels, a defensively sampled one below
+                # (tracer.cpp:3428-3466); opaque mirrors (RF section)
+                # are deterministic, never split
+                shallow = dep < PT_SHALLOW
+                s_rt = jnp.maximum(c_rfl + c_trn, 1e-30)
+                qd = 0.25 + 0.5 * c_rfl / s_rt
+                chose_rfl = usplit < qd
+                w_rfl = jnp.where(shallow, c_rfl,
+                                  jnp.where(chose_rfl, c_rfl / qd, 0.0))
+                w_trn = jnp.where(
+                    shallow, c_trn,
+                    jnp.where(chose_rfl, 0.0,
+                              c_trn / jnp.maximum(1.0 - qd, 1e-30)))
+                w_rfl = jnp.where(opq, c_rfl, w_rfl)
+                w_trn = jnp.where(opq, 0.0, w_trn)
+
+                # diffuse child: RR below split depth
+                deep = dep >= (cfg.depth - 5)
+                q = jnp.clip(jnp.maximum(jnp.maximum(mc_r, mc_g), mc_b),
+                             1e-4, 1.0)
+                rr_kill = deep & (urr >= q)
+                dq = jnp.where(deep, 1.0 / q, 1.0)
+                dm_r = mc_r * m_dff * dq
+                dm_g = mc_g * m_dff * dq
+                dm_b = mc_b * m_dff * dq
                 dif_ok = flag_vec(PROP_DIFFUSE, bmat)
                 if dif_ok is None:
                     dif_ok = zb
-                pick_dif = (~pick_rfl & ~pick_trn & (p_dif > 0.0)
-                            & dif_ok)
+                have_dif = can_rec & dif_ok & ~rr_kill
+                have_trn = can_rec & (w_trn > 0.0)
+                have_rfl = can_rec & (w_rfl > 0.0)
 
                 ddn = dx * nx + dy * ny + dz * nz
                 mrx = dx - 2.0 * ddn * nx
@@ -1293,52 +1332,101 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 dfy = t1y * xx + t2y * yy + ny * zz2
                 dfz = t1z * xx + t2z * yy + nz * zz2
 
-                n_dx = jnp.where(pick_rfl, mrx,
-                                 jnp.where(pick_trn, rfx, dfx))
-                n_dy = jnp.where(pick_rfl, mry,
-                                 jnp.where(pick_trn, rfy, dfy))
-                n_dz = jnp.where(pick_rfl, mrz,
-                                 jnp.where(pick_trn, rfz, dfz))
+                # continue with the diffuse child; pending siblings
+                # pushed rfl-then-trn (transmit pops first) — matches
+                # ops/pt.py exactly
+                cont_dif = have_dif
+                cont_trn = ~cont_dif & have_trn
+                cont_rfl = ~cont_dif & ~cont_trn & have_rfl
+                cont = cont_dif | cont_trn | cont_rfl
 
-                # diffuse-branch Russian roulette below split depth
-                deep = it >= (cfg.depth - 5)
-                q = jnp.clip(jnp.maximum(jnp.maximum(mc_r, mc_g), mc_b),
-                             1e-4, 1.0)
-                seed, urr = lcg_uniform(seed)
-                rr_kill = deep & pick_dif & (urr >= q)
-                dq = jnp.where(deep & pick_dif, 1.0 / q, 1.0)
-                dm_r = mc_r * m_dff * dq
-                dm_g = mc_g * m_dff * dq
-                dm_b = mc_b * m_dff * dq
-                n_tr = jnp.where(pick_dif, thr_r * dm_r, thr_r)
-                n_tg = jnp.where(pick_dif, thr_g * dm_g, thr_g)
-                n_tb = jnp.where(pick_dif, thr_b * dm_b, thr_b)
+                new_stk = list(stk)
+                depf = (dep + 1).astype(F32)
+                bsrf_f = bsrf.astype(F32)
+                bside_f = bside.astype(F32)
+                for pred, pdir, wgt, pthru in (
+                        (have_rfl & ~cont_rfl, (mrx, mry, mrz), w_rfl,
+                         z),
+                        (have_trn & ~cont_trn, (rfx, rfy, rfz), w_trn,
+                         z + 1.0)):
+                    predk = pred & (sp < PT_SD)
+                    vals = (hx, hy, hz, pdir[0], pdir[1], pdir[2],
+                            thr_r * wgt, thr_g * wgt, thr_b * wgt,
+                            depf, bsrf_f, bside_f, pthru,
+                            hlx, hly, hlz)
+                    for kk in range(PT_SD):
+                        at_k = predk & (sp == kk)
+                        new_stk[kk] = tuple(
+                            jnp.where(at_k, v_, s_)
+                            for v_, s_ in zip(vals, new_stk[kk]))
+                    sp = sp + predk.astype(I32)
 
-                emissive = flag_vec(PROP_LIGHT, bmat)
-                if emissive is None:
-                    emissive = zb
-                cont = (hit & ~emissive
-                        & (pick_rfl | pick_trn | pick_dif) & ~rr_kill)
-                w2 = lambda a_, b_: jnp.where(cont, a_, b_)
-                return (w2(hx, ox), w2(hy, oy), w2(hz, oz),
-                        w2(n_dx, dx), w2(n_dy, dy), w2(n_dz, dz),
-                        jnp.where(cont, 0.0, tmn),
-                        w2(n_tr, thr_r), w2(n_tg, thr_g),
-                        w2(n_tb, thr_b),
-                        w2(bsrf, osrf), w2(bside, oside),
-                        (cont & pick_trn).astype(I32),
-                        w2(hlx, olx), w2(hly, oly), w2(hlz, olz),
-                        cont.astype(I32),
-                        acc_r, acc_g, acc_b, seed, it + 1)
+                n_dx = jnp.where(cont_dif, dfx,
+                                 jnp.where(cont_trn, rfx, mrx))
+                n_dy = jnp.where(cont_dif, dfy,
+                                 jnp.where(cont_trn, rfy, mry))
+                n_dz = jnp.where(cont_dif, dfz,
+                                 jnp.where(cont_trn, rfz, mrz))
+                w_c = jnp.where(cont_trn, w_trn, w_rfl)
+                n_tr = jnp.where(cont_dif, thr_r * dm_r, thr_r * w_c)
+                n_tg = jnp.where(cont_dif, thr_g * dm_g, thr_g * w_c)
+                n_tb = jnp.where(cont_dif, thr_b * dm_b, thr_b * w_c)
+
+                # finished nodes pop a pending sibling
+                can_pop = ~cont & (sp > 0)
+                psp = jnp.maximum(sp - 1, 0)
+                pops = []
+                for f in range(16):
+                    acc0 = jnp.zeros(shape, F32)
+                    for kk in range(PT_SD):
+                        acc0 = jnp.where(psp == kk, new_stk[kk][f],
+                                         acc0)
+                    pops.append(acc0)
+                (p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_tr, p_tg, p_tb,
+                 p_dep, p_srf, p_side, p_thru, p_olx, p_oly,
+                 p_olz) = pops
+
+                w2 = lambda c_, a_, b_: jnp.where(c_, a_, b_)
+                return (
+                    w2(cont, hx, w2(can_pop, p_ox, ox)),
+                    w2(cont, hy, w2(can_pop, p_oy, oy)),
+                    w2(cont, hz, w2(can_pop, p_oz, oz)),
+                    w2(cont, n_dx, w2(can_pop, p_dx, dx)),
+                    w2(cont, n_dy, w2(can_pop, p_dy, dy)),
+                    w2(cont, n_dz, w2(can_pop, p_dz, dz)),
+                    jnp.where(cont | can_pop, 0.0, tmn),
+                    w2(cont, n_tr, w2(can_pop, p_tr, thr_r)),
+                    w2(cont, n_tg, w2(can_pop, p_tg, thr_g)),
+                    w2(cont, n_tb, w2(can_pop, p_tb, thr_b)),
+                    w2(cont, bsrf,
+                       w2(can_pop, p_srf.astype(I32), osrf)),
+                    w2(cont, bside,
+                       w2(can_pop, p_side.astype(I32), oside)),
+                    (cont_trn | (~cont & can_pop
+                                 & (p_thru != 0.0))).astype(I32),
+                    w2(cont, hlx, w2(can_pop, p_olx, olx)),
+                    w2(cont, hly, w2(can_pop, p_oly, oly)),
+                    w2(cont, hlz, w2(can_pop, p_olz, olz)),
+                    (cont | can_pop).astype(I32),
+                    acc_r, acc_g, acc_b, seed,
+                    w2(cont, dep + 1, w2(can_pop, p_dep.astype(I32),
+                                         dep)),
+                    jnp.where(can_pop, psp, sp),
+                    tuple(new_stk), it + 1)
 
             def pt_cond(st):
-                # depth counts recursions (inf_DEPTH): primary hit free,
-                # so a depth-D path sees D+1 hits (tracer.cpp:2548-2560)
-                return jnp.any(st[16] != 0) & (st[21] < cfg.depth + 1)
+                # tree-node cap (matches ops/pt.py): a depth-D path
+                # sees D+1 hits; the split tree multiplies node count
+                # by < 4 in practice
+                return (jnp.any(st[16] != 0)
+                        & (st[24] < 6 * (cfg.depth + 1)))
 
+            stk0 = tuple(tuple(z for _ in range(16))
+                         for _ in range(PT_SD))
             st0 = (ox, oy, oz, dx, dy, dz, tmn,
                    z + 1.0, z + 1.0, z + 1.0, zi - 1, zi + 1, zi,
-                   z, z, z, zi + 1, z, z, z, seed0, jnp.zeros((), I32))
+                   z, z, z, zi + 1, z, z, z, seed0, zi, zi, stk0,
+                   jnp.zeros((), I32))
             if use_cand:
                 # peel the primary segment: its nearest-hit pass walks
                 # the per-block candidate list instead of all surfaces

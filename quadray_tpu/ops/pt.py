@@ -4,11 +4,10 @@
 The reference's experimental path tracer extends the Whitted kernel with a
 per-lane LCG PRNG, tent-filtered sub-pixel jitter, cosine-hemisphere
 diffuse bounces, probabilistic Fresnel splits and a progressive running
-average over frames. Here it is a separate bounded-depth sampling loop
-(one continuation per bounce — no branch stack needed) over the same
-intersect/material machinery as ops/trace.py; the engine accumulates
-passes into persistent color planes (the pseed/ptr_r/g/b analog,
-engine.cpp:2875-2899).
+average over frames. Here it is the same SPLIT-TREE walk (see trace_pt)
+over the intersect/material machinery of ops/trace.py; the engine
+accumulates passes into persistent color planes (the pseed/ptr_r/g/b
+analog, engine.cpp:2875-2899).
 
 PRNG: 32-bit LCG x <- x*214013 + 2531011 (tracer.h:48-53) — same
 constants as the reference; streams differ (seed plane layout is ours).
@@ -81,11 +80,39 @@ def _cosine_hemisphere(n, u1, u2):
     return t1 * x + t2 * y + n * z
 
 
+PT_SHALLOW = 2    # top levels where BOTH Fresnel branches are followed
+#                   (the reference skips the split while inf_DEPTH >
+#                   RT_STACK_DEPTH-2, tracer.cpp:3430-3433)
+PT_STACK = 12     # pending-sibling stack slots per lane
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
              cfg: TraceConfig = TraceConfig()):
-    """One path-traced sample per lane. Returns (radiance (N,3), seeds)."""
+    """One path-traced sample per lane via the reference's SPLIT-TREE
+    walk (PT mode of render0). Per hit (tracer.cpp:2340-2703,
+    3182-3554):
+
+      * emission is gathered (smallpt emitter);
+      * DIFFUSE-prop surfaces spawn one cosine-hemisphere child
+        weighted tex*l_dff, Russian-rouletted below the split depth
+        (PT_SPLIT_DEPTH, tracer.cpp:2352-2376);
+      * transparent surfaces follow BOTH Fresnel branches (weights
+        c_rfl / c_trn) at the top PT_SHALLOW levels, and below that a
+        defensively SAMPLED single branch with probability
+        q = 0.25 + 0.5*c_rfl/(c_rfl+c_trn) and weight c/q
+        (RT_FEAT_PT_SPLIT_FRESNEL, tracer.cpp:3428-3466);
+      * opaque reflective surfaces follow the mirror branch
+        deterministically (the RF section has no PT split).
+
+    The reference walks this tree depth-first through its context
+    stack; here pending siblings wait on a bounded per-lane stack
+    (children beyond PT_STACK slots are dropped — unreachable for the
+    reference's own depth-10 trees). Returns (radiance (N,3), seeds).
+    """
+    from quadray_tpu.scene.compile import (PROP_DIFFUSE, PROP_OPAQUE)
     N = dirs.shape[0]
+    SD = PT_STACK
     if org.ndim == 1:
         org = jnp.broadcast_to(org[None, :], (N, 3))
 
@@ -95,17 +122,27 @@ def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
         tmin=t_min.astype(F32),
         osrf=jnp.full((N,), -1, I32), oside=jnp.ones((N,), I32),
         thru=jnp.zeros((N,), jnp.bool_),
+        dep=jnp.zeros((N,), I32),
         active=jnp.ones((N,), jnp.bool_),
         acc=jnp.zeros((N, 3), F32),
         seed=seeds,
+        sp=jnp.zeros((N,), I32),
+        st_org=jnp.zeros((N, SD, 3), F32),
+        st_dir=jnp.zeros((N, SD, 3), F32),
+        st_thr=jnp.zeros((N, SD, 3), F32),
+        st_dep=jnp.zeros((N, SD), I32),
+        st_osrf=jnp.zeros((N, SD), I32),
+        st_oside=jnp.zeros((N, SD), I32),
+        st_thru=jnp.zeros((N, SD), I32),
         it=jnp.zeros((), I32),
     )
+    slot_ids = jnp.arange(SD, dtype=I32)[None, :]
 
     def cond(st):
-        # cfg.depth counts RECURSIONS like inf_DEPTH (decremented at each
-        # ENTER, stop at 0): the primary hit is free, so a depth-10 path
-        # sees 11 hits (tracer.cpp:2548-2560)
-        return jnp.any(st["active"]) & (st["it"] < cfg.depth + 1)
+        # tree-node cap: a depth-D path sees D+1 hits; the split tree
+        # multiplies node count by < 4 in practice
+        return ((jnp.any(st["active"]) | jnp.any(st["sp"] > 0))
+                & (st["it"] < 6 * (cfg.depth + 1)))
 
     def body(st):
         act = st["active"]
@@ -122,61 +159,136 @@ def trace_pt(sc: SceneArrays, org, dirs, t_min, seeds,
         emis = sc.s_emis[jnp.maximum(h["srf"], 0), sside]
         acc = st["acc"] + jnp.where(hit[:, None], st["thr"] * emis, 0.0)
 
-        # sampling weights
         c_rfl, c_trn, refr_dir, _ = fresnel_terms(
             sc, midx, st["dir"], h["n"])
-        p_dif = jnp.maximum(1.0 - c_rfl - c_trn, 0.0)
 
-        seed, u_branch = lcg_uniform(st["seed"])
-        seed, u1 = lcg_uniform(seed)
+        # fixed per-hit draw order (must match the kernel PT):
+        # u1, u2 hemisphere; u_rr roulette; u_split Fresnel choice
+        seed, u1 = lcg_uniform(st["seed"])
         seed, u2 = lcg_uniform(seed)
+        seed, u_rr = lcg_uniform(seed)
+        seed, u_split = lcg_uniform(seed)
 
-        pick_rfl = u_branch < c_rfl
-        pick_trn = (~pick_rfl) & (u_branch < c_rfl + c_trn)
-        # diffuse gather requires the DIFFUSE prop (CHECK_PROP(PT_mix,
-        # RT_PROP_DIFFUSE), tracer.cpp:2350) — rfl+trn >= 1 clears it
-        # (e.g. the metal mirror), Fresnel may still leave p_dif > 0
-        from quadray_tpu.scene.compile import PROP_DIFFUSE
-        pick_dif = (~pick_rfl & ~pick_trn & (p_dif > 0.0)
-                    & ((props & PROP_DIFFUSE) != 0))
+        emissive = (props & PROP_LIGHT) != 0
+        can_rec = hit & ~emissive & (st["dep"] < cfg.depth)
+
+        # Fresnel branch weights (TR section; opaque mirrors take the
+        # RF section: deterministic, never split)
+        opaque = (props & PROP_OPAQUE) != 0
+        shallow = st["dep"] < PT_SHALLOW
+        s_rt = jnp.maximum(c_rfl + c_trn, 1e-30)
+        qd = 0.25 + 0.5 * c_rfl / s_rt
+        chose_rfl = u_split < qd
+        w_rfl = jnp.where(shallow, c_rfl,
+                          jnp.where(chose_rfl, c_rfl / qd, 0.0))
+        w_trn = jnp.where(
+            shallow, c_trn,
+            jnp.where(chose_rfl, 0.0,
+                      c_trn / jnp.maximum(1.0 - qd, 1e-30)))
+        w_rfl = jnp.where(opaque, c_rfl, w_rfl)
+        w_trn = jnp.where(opaque, 0.0, w_trn)
+
+        # diffuse child: weight tex*l_dff, RR below split depth
+        deep_rr = st["dep"] >= (cfg.depth - 5)
+        q = jnp.clip(jnp.max(tex, -1), 1e-4, 1.0)
+        rr_kill = deep_rr & (u_rr >= q)
+        # reciprocal multiply (not division) to stay bit-compatible
+        # with the kernel PT's dm_* computation
+        dq = jnp.where(deep_rr, 1.0 / q, 1.0)
+        dif_mod = tex * sc.m_dff[midx][:, None] * dq[:, None]
+        have_dif = can_rec & ((props & PROP_DIFFUSE) != 0) & ~rr_kill
+        have_trn = can_rec & (w_trn > 0.0)
+        have_rfl = can_rec & (w_rfl > 0.0)
 
         ddotn = jnp.sum(st["dir"] * h["n"], -1)
         refl_dir = st["dir"] - 2.0 * ddotn[:, None] * h["n"]
         diff_dir = _cosine_hemisphere(h["n"], u1, u2)
 
-        n_dir = jnp.where(pick_rfl[:, None], refl_dir,
-                          jnp.where(pick_trn[:, None], refr_dir, diff_dir))
-        # Russian roulette on the DIFFUSE branch only, below split depth
-        # (PT_SPLIT_DEPTH, tracer.cpp:2352-2376): survive with
-        # probability q = max texture channel, survivors re-weighted by
-        # tex/q; specular/glass branches are never rouletted
-        deep = st["it"] >= (cfg.depth - 5)
-        q = jnp.clip(jnp.max(tex, -1), 1e-4, 1.0)
-        seed, u_rr = lcg_uniform(seed)
-        rr_kill = deep & pick_dif & (u_rr >= q)
-        # diffuse bounce modulates by texture * l_dff
-        # (tracer.cpp:2546-2608, PT_ret mat_L_DFF * ctx_TEX)
-        dif_mod = tex * sc.m_dff[midx][:, None]
-        dif_mod = jnp.where((deep & pick_dif)[:, None],
-                            dif_mod / q[:, None], dif_mod)
-        n_thr = jnp.where(pick_dif[:, None], st["thr"] * dif_mod,
-                          st["thr"])
-        # emissive surfaces terminate the path (light sampled on hit)
-        emissive = (props & PROP_LIGHT) != 0
-        cont = hit & ~emissive & (pick_rfl | pick_trn | pick_dif)
-        cont &= ~rr_kill
+        # continue with the diffuse child (the reference's PT section
+        # recurses before TR/RF); pending siblings pushed rfl-then-trn
+        # so the transmit child pops first
+        sp = st["sp"]
+        st_org, st_dir, st_thr = st["st_org"], st["st_dir"], st["st_thr"]
+        st_dep, st_osrf = st["st_dep"], st["st_osrf"]
+        st_oside, st_thru = st["st_oside"], st["st_thru"]
 
+        def push(pred, pdir, pthr, pthru, sp, st_org, st_dir, st_thr,
+                 st_dep, st_osrf, st_oside, st_thru):
+            ok = pred & (sp < SD)
+            oh = (slot_ids == sp[:, None]) & ok[:, None]
+            oh3 = oh[:, :, None]
+            st_org = jnp.where(oh3, h["x"][:, None, :], st_org)
+            st_dir = jnp.where(oh3, pdir[:, None, :], st_dir)
+            st_thr = jnp.where(oh3, pthr[:, None, :], st_thr)
+            st_dep = jnp.where(oh, (st["dep"] + 1)[:, None], st_dep)
+            st_osrf = jnp.where(oh, h["srf"][:, None], st_osrf)
+            st_oside = jnp.where(oh, h["side"][:, None], st_oside)
+            st_thru = jnp.where(oh, jnp.int32(pthru)[None, None],
+                                st_thru)
+            return sp + ok, (st_org, st_dir, st_thr, st_dep, st_osrf,
+                             st_oside, st_thru)
+
+        cont_dif = have_dif
+        cont_trn = ~cont_dif & have_trn
+        cont_rfl = ~cont_dif & ~cont_trn & have_rfl
+        # push children NOT taken as the continuation
+        sp, stk = push(have_rfl & ~cont_rfl, refl_dir,
+                       st["thr"] * w_rfl[:, None], 0, sp, st_org,
+                       st_dir, st_thr, st_dep, st_osrf, st_oside,
+                       st_thru)
+        (st_org, st_dir, st_thr, st_dep, st_osrf, st_oside,
+         st_thru) = stk
+        sp, stk = push(have_trn & ~cont_trn, refr_dir,
+                       st["thr"] * w_trn[:, None], 1, sp, st_org,
+                       st_dir, st_thr, st_dep, st_osrf, st_oside,
+                       st_thru)
+        (st_org, st_dir, st_thr, st_dep, st_osrf, st_oside,
+         st_thru) = stk
+
+        cont = cont_dif | cont_trn | cont_rfl
+        n_dir = jnp.where(cont_dif[:, None], diff_dir,
+                          jnp.where(cont_trn[:, None], refr_dir,
+                                    refl_dir))
+        n_thr = jnp.where(
+            cont_dif[:, None], st["thr"] * dif_mod,
+            jnp.where(cont_trn[:, None], st["thr"] * w_trn[:, None],
+                      st["thr"] * w_rfl[:, None]))
+
+        # lanes whose node finished pop a pending sibling
+        can_pop = ~cont & (sp > 0)
+        psp = jnp.maximum(sp - 1, 0)
+        ohp = slot_ids == psp[:, None]
+
+        def popf(stf):
+            return jnp.sum(jnp.where(
+                ohp[:, :, None] if stf.ndim == 3 else ohp,
+                stf, 0), axis=1)
+
+        p_org, p_dir, p_thr = popf(st_org), popf(st_dir), popf(st_thr)
+        p_dep, p_osrf = popf(st_dep), popf(st_osrf)
+        p_oside, p_thru = popf(st_oside), popf(st_thru)
+
+        w2 = lambda c_, a_, b_: jnp.where(c_[:, None], a_, b_)
         return dict(
-            org=jnp.where(cont[:, None], h["x"], st["org"]),
-            dir=jnp.where(cont[:, None], n_dir, st["dir"]),
-            thr=jnp.where(cont[:, None], n_thr, st["thr"]),
-            tmin=jnp.where(cont, 0.0, st["tmin"]),
-            osrf=jnp.where(cont, h["srf"], st["osrf"]),
-            oside=jnp.where(cont, h["side"], st["oside"]),
-            thru=cont & pick_trn,
-            active=cont,
+            org=w2(cont, h["x"], w2(can_pop, p_org, st["org"])),
+            dir=w2(cont, n_dir, w2(can_pop, p_dir, st["dir"])),
+            thr=w2(cont, n_thr, w2(can_pop, p_thr, st["thr"])),
+            tmin=jnp.where(cont | can_pop, 0.0, st["tmin"]),
+            osrf=jnp.where(cont, h["srf"],
+                           jnp.where(can_pop, p_osrf, st["osrf"])),
+            oside=jnp.where(cont, h["side"],
+                            jnp.where(can_pop, p_oside, st["oside"])),
+            thru=jnp.where(cont, cont_trn,
+                           jnp.where(can_pop, p_thru != 0, st["thru"])),
+            dep=jnp.where(cont, st["dep"] + 1,
+                          jnp.where(can_pop, p_dep, st["dep"])),
+            active=cont | can_pop,
             acc=acc,
             seed=seed,
+            sp=jnp.where(can_pop, psp, sp),
+            st_org=st_org, st_dir=st_dir, st_thr=st_thr,
+            st_dep=st_dep, st_osrf=st_osrf, st_oside=st_oside,
+            st_thru=st_thru,
             it=st["it"] + 1,
         )
 

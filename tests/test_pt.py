@@ -2,18 +2,17 @@
 
 golden/ref_test18_pt64.bmp is the reference C engine's path-traced
 Cornell box after 64 progressive samples/pixel (core_test -b 18 -e 18
--o -q -i -f 64, rendered by the rebuilt reference oracle). Our PT uses
-the same LCG constants but its own seed-plane layout and a single-path
-estimator where the reference traces a split tree (both unbiased), so
-the comparison is STATISTICAL, not pixel-exact:
+-o -q -i -f 64, rendered by the rebuilt reference oracle). Our PT
+(round 5) traces the reference's SPLIT TREE — per-hit diffuse gather,
+both Fresnel branches at the top two levels, the defensive
+0.25+0.5*ratio sampled split below (tracer.cpp:3428-3466) — with the
+same LCG constants but its own seed-plane layout, so the comparison is
+STATISTICAL, not pixel-exact:
 
-  * global mean per channel within 4/255 — measured residual ~1.8/255
-    (~1.5%): the remaining gap between our single-path estimator with
-    proportional Fresnel splits and the reference's shallow-depth split
-    tree with its defensive 0.25+0.5*ratio split probability;
-  * 16x16-pixel block means within mean<6, p95<12, max<25 of the
-    reference at 64 spp (noise floor of two independent 64-spp runs is
-    block-sigma ~2.7).
+  * global mean per channel within 2.5/255 (measured 1.7);
+  * 16x16-pixel block means within mean<3.5, p95<9, max<18 of the
+    reference at 64 spp (measured 2.97 / 7.6 / 14.3 — the block mean
+    sits AT the ~2.7 noise floor of two independent 64-spp runs).
 
 Depth semantics, diffuse-gather gating on PROP_DIFFUSE, and the
 albedo-based diffuse Russian roulette (tracer.cpp:2352-2376) are ported
@@ -43,15 +42,15 @@ def test_pt_test18_statistical_parity():
 
     mean_d = np.abs(frame.reshape(-1, 3).mean(0) - ref.reshape(-1, 3)
                     .mean(0))
-    assert np.all(mean_d < 4.0), f"global mean diff {mean_d}"
+    assert np.all(mean_d < 2.5), f"global mean diff {mean_d}"
 
     B = 16
     fb = frame.reshape(480 // B, B, 800 // B, B, 3).mean((1, 3))
     rb = ref.reshape(480 // B, B, 800 // B, B, 3).mean((1, 3))
     d = np.abs(fb - rb)
-    assert d.mean() < 6.0, f"block mean {d.mean()}"
-    assert np.percentile(d, 95) < 12.0, f"block p95 {np.percentile(d, 95)}"
-    assert d.max() < 25.0, f"block max {d.max()}"
+    assert d.mean() < 3.5, f"block mean {d.mean()}"
+    assert np.percentile(d, 95) < 9.0, f"block p95 {np.percentile(d, 95)}"
+    assert d.max() < 18.0, f"block max {d.max()}"
 
 
 def test_pt_self_convergence_small():
@@ -106,8 +105,11 @@ def _scene(name):
 
 def test_pt_kernel_matches_jnp_estimator():
     """The megakernel's in-kernel PT mode must reproduce the jnp
-    estimator lane-for-lane: same LCG draws (seeds bitwise-equal after
-    the pass) and the same radiance."""
+    estimator lane-for-lane: seeds BITWISE-equal after the pass (the
+    split-tree branch structure and draw count match on every lane)
+    and radiance within fp-association noise (the two evaluate the
+    same arithmetic with slightly different op grouping; measured
+    max 8.9e-5 on radiance up to ~8)."""
     import jax.numpy as jnp
     from quadray_tpu.ops.pt import trace_pt, init_seeds, pt_camera_rays
     from quadray_tpu.ops.pallas_kernel import trace_pt_pallas
@@ -125,7 +127,7 @@ def test_pt_kernel_matches_jnp_estimator():
                             interpret=True)
     assert np.array_equal(np.asarray(sa), np.asarray(sb))
     d = np.abs(np.asarray(a) - np.asarray(b))
-    assert d.max() < 1e-5, d.max()
+    assert d.max() < 2e-4, d.max()
 
 
 @pytest.mark.tpu
