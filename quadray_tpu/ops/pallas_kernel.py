@@ -463,8 +463,10 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     NW = -(-NSP // 32)       # 32-bit umask words
     NG = len(struct.groups)
     # static shadow-blocker masks only pay off when shadows run (PT has
-    # no shadow pass)
-    lsort_on = cull_on and cfg.lsort and struct.nl > 0 and not pt
+    # no shadow pass) and the blocker set is large enough to prune
+    nreal_ls = sum(g.count for g in struct.groups)
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0 and not pt
+                and nreal_ls > cfg.unroll)
     assert not (use_cand and resume)
 
     def mats_with(bit):
@@ -1961,7 +1963,8 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     assert R % sub == 0, f"ray tiles must pad to sub={sub} rows, got {R}"
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = cull_on and cfg.lsort and struct.nl > 0
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
+                and sum(g.count for g in struct.groups) > cfg.unroll)
     use_cand = _cand_period(struct, cfg, R, cand_period, sub)
     kern = _make_kernel(struct, cfg, use_cand=use_cand)
     # index_map receives the scalar-prefetch refs after the grid index
@@ -2003,7 +2006,8 @@ def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     sub = cfg.sub
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = cull_on and cfg.lsort and struct.nl > 0
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
+                and sum(g.count for g in struct.groups) > cfg.unroll)
     use_cand = _cand_period(struct, cfg, R, sub=sub)
     cfgk = cfg._replace(max_segments=k_paths)
     kern = _make_kernel(struct, cfgk, emit_paths=k_paths,
@@ -2273,7 +2277,8 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     sub = cfg.sub
     grid = R // sub
     cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = cull_on and cfg.lsort and struct.nl > 0
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
+                and sum(g.count for g in struct.groups) > cfg.unroll)
     use_cand = _cand_period(struct, cfg, R, cand_period, sub)
     kern = _make_kernel(struct, cfg, emit_state=True, use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
@@ -2320,7 +2325,8 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
     giving 64/sub-times finer retirement granularity for the deep tail."""
     R = state[0].shape[0]
     cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = cull_on and cfg.lsort and struct.nl > 0
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
+                and sum(g.count for g in struct.groups) > cfg.unroll)
     kern = _make_kernel(struct, cfg, resume=True)
     # blist is always the LAST scalar-prefetch operand
     ray_spec = pl.BlockSpec(

@@ -83,7 +83,12 @@ def _cosine_hemisphere(n, u1, u2):
 PT_SHALLOW = 2    # top levels where BOTH Fresnel branches are followed
 #                   (the reference skips the split while inf_DEPTH >
 #                   RT_STACK_DEPTH-2, tracer.cpp:3430-3433)
-PT_STACK = 12     # pending-sibling stack slots per lane
+PT_STACK = 6      # pending-sibling stack slots per lane: the top-2
+#                   both-branch levels push at most 2 each, and deep
+#                   nodes push only for mixed diffuse+specular
+#                   materials (diffuse-only walls and spec-only glass
+#                   never do), so 6 covers the reference's depth-10
+#                   trees with slack
 
 
 @partial(jax.jit, static_argnames=("cfg",))
