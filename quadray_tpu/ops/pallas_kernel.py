@@ -122,6 +122,16 @@ class PackedScene(NamedTuple):
     #                      word l*NW+w = permuted surface 32w+b can
     #                      occlude light l for hit points on this row's
     #                      surface (sphere-vs-capsule hull, conservative)
+    cont_msk: jnp.ndarray  # (NS, 2*NW) i32 per-(surface, hit side)
+    #                      secondary-ray candidate bitmasks (the lst_p
+    #                      rfl/rfr list analog, tracer.h:955-968): bit b
+    #                      of word side*NW+w = a continuation ray leaving
+    #                      this row's surface on that side may hit
+    #                      permuted surface 32w+b. PLANE originators
+    #                      prune by halfspace (reflections stay on the
+    #                      hit side, transmissions cross); quadrics and
+    #                      non-continuing materials conservatively keep
+    #                      everything / nothing
 
 
 class Group(NamedTuple):
@@ -381,8 +391,51 @@ def pack_scene(sc: SceneArrays, struct: KernelStruct) -> PackedScene:
         shad_msk = jnp.concatenate(words, axis=1).astype(I32)
     else:
         shad_msk = jnp.zeros((NS, 1), I32)
+    # lst_p analog (tracer.h:955-968, traversed at the rfl/rfr ENTERs,
+    # tracer.cpp:3486-3554): static per-(surface, hit side) candidate
+    # masks for continuation rays. A ray REFLECTED off a plane stays in
+    # the closed halfspace of its hit side; a TRANSMITTED ray crosses
+    # it — so plane originators keep only surfaces whose sphere meets
+    # the halfspace(s) their materials can actually send rays into.
+    # Curved originators and unbounded targets conservatively keep
+    # everything; materials that cannot continue contribute nothing.
+    nb32c = (-(-NS // 32)) * 32
+    bitc = jnp.arange(nb32c, dtype=I32) % 32
+    kind_p = sc.s_kind[perm]
+    nrm = sc.s_inv[perm][:, 2, :]
+    nrm = nrm * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(nrm * nrm, axis=1, keepdims=True), 1e-30))
+    cb_all = bperm[:, :3]
+    rb_all = jnp.where(bnd_p > 0, jnp.sqrt(bperm[:, 3]), jnp.inf)
+    dvec = cb_all[None, :, :] - sc.s_pos[perm][:, None, :]
+    signed = jnp.sum(dvec * nrm[:, None, :], axis=2)  # (NSr, NSb)
+    distb = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, axis=2), 0.0))
+    slack = rb_all[None, :] + 1e-3 + 1e-3 * distb
+    Hp = ~(signed < -slack)       # NaN-safe: degrade to reach
+    Hm = ~(signed > slack)
+    fres_s = sc.use_fresnel > 0
+    sides_masks = []
+    for si in range(2):
+        pm = sc.m_props[sc.s_mat[perm][:, si]]
+        can_rfl = ((pm & PROP_REFLECT) != 0) | (
+            fres_s & ((pm & PROP_OPAQUE) == 0))
+        can_trn = (pm & PROP_OPAQUE) == 0
+        same, opp = (Hp, Hm) if si == 0 else (Hm, Hp)
+        mk = (can_rfl[:, None] & same) | (can_trn[:, None] & opp)
+        anyc = can_rfl | can_trn
+        mk = jnp.where((kind_p == 1)[:, None], mk, anyc[:, None])
+        mk = mk | (bnd_p[None, :] == 0)
+        mk = (mk & anyc[:, None]).astype(I32)
+        padc = nb32c - NS
+        if padc:
+            mk = jnp.concatenate(
+                [mk, jnp.zeros((NS, padc), I32)], axis=1)
+        sides_masks.append(
+            (mk << bitc[None, :]).reshape(NS, nb32c // 32, 32).sum(2))
+    cont_msk = jnp.concatenate(sides_masks, axis=1).astype(I32)
     return PackedScene(sp_f, sp_i, cl_f, mat_f, lg_f, misc,
-                       tex_pk, jnp.asarray(_TEX_LUT), bsph_t, shad_msk)
+                       tex_pk, jnp.asarray(_TEX_LUT), bsph_t, shad_msk,
+                       cont_msk)
 
 
 def kernel_supported(sc: SceneArrays) -> bool:
@@ -467,6 +520,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     nreal_ls = sum(g.count for g in struct.groups)
     lsort_on = (cull_on and cfg.lsort and struct.nl > 0 and not pt
                 and nreal_ls > cfg.unroll)
+    # static secondary-ray candidate masks (lst_p analog): continuation
+    # rays always originate from the immediately-preceding segment's
+    # commits, which only holds for the single-branch chain (branch
+    # stacks and PT sibling stacks pop rays from OLDER segments)
+    cont_on = (cull_on and cfg.lsort and not pt
+               and not struct.can_push and nreal_ls > cfg.unroll)
     assert not (use_cand and resume)
 
     def mats_with(bit):
@@ -511,6 +570,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             # blocker bitmasks (PackedScene.shad_msk)
             shad_ref = more[0]
             more = more[1:]
+        if cont_on:
+            # scalar-prefetch: per-(surface, side) continuation masks
+            # (PackedScene.cont_msk)
+            cont_ref = more[0]
+            more = more[1:]
         if use_cand:
             # 7th scalar-prefetch operand: per-block candidate table
             # (use_cand rows of [NG+1 group boundaries | compacted
@@ -530,6 +594,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         if emit_paths:
             rec_s = more[-1]
             more = more[:-1]
+        if cont_on:
+            # double-buffered NW-word SMEM union of the committed
+            # surfaces' continuation masks: rfn_s accumulates during a
+            # segment's nearest pass, rfc_s is consumed by the NEXT
+            # segment's nearest reach mask
+            rfn_s = more[-1]
+            rfc_s = more[-2]
+            more = more[:-2]
         if lsort_on:
             # NL*NW-word SMEM scratch: union over the block's committed
             # receiver surfaces of their per-light blocker masks
@@ -554,6 +626,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         if cull_on:
             bsph_r = rest_refs[0]
             rest_refs = rest_refs[1:]
+        if cont_on:
+            # the first nearest pass has no originator info: it swaps
+            # in this all-ones buffer and accumulates the real union
+            for w_ in range(NW):
+                rfn_s[w_] = -1
 
         def clipentry(s, j):
             g = lambda k: cl_f[s, j * CF + k]
@@ -656,6 +733,23 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                             # the shadow passes of this segment)
                             for i_ in range(NL * NW):
                                 shu_s[i_] = shu_s[i_] | shad_ref[s, i_]
+                        if cont_on and not shadow:
+                            # fold this surface's per-side continuation
+                            # masks into the NEXT segment's union
+                            any_o = jnp.any(better & (side > 0))
+                            any_i = jnp.any(better & (side < 0))
+
+                            @pl.when(any_o)
+                            def _():
+                                for w_ in range(NW):
+                                    rfn_s[w_] = (rfn_s[w_]
+                                                 | cont_ref[s, w_])
+
+                            @pl.when(any_i)
+                            def _():
+                                for w_ in range(NW):
+                                    rfn_s[w_] = (rfn_s[w_]
+                                                 | cont_ref[s, NW + w_])
                         midx = jnp.where(side > 0, sp_i[s, SI_MO],
                                          sp_i[s, SI_MI])
                         sel = lambda a_, r_: jnp.where(better, a_, r_[:])
@@ -879,6 +973,11 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             # guards are then a scalar bit test.
             cand_mode = bool(use_cand) and primary and not shadow
             guard_on = cull_on and not cand_mode
+            if cont_on and not shadow:
+                # consume the previous segment's union; start the next
+                for w_ in range(NW):
+                    rfc_s[w_] = rfn_s[w_]
+                    rfn_s[w_] = 0
             if guard_on:
                 # PER-ROW ray-bundle bounds (the reference tests its
                 # 4-16-ray packets against array bounding spheres —
@@ -1007,6 +1106,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     word = jnp.sum(jnp.where(w_of == w, val, 0))
                     if lsort_on and shadow:
                         word = word & shu_s[light * NW + w]
+                    if cont_on and not shadow:
+                        word = word & rfc_s[w]
                     umask_s[w] = word
 
             rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
@@ -1921,10 +2022,12 @@ _pack_jit = jax.jit(pack_scene, static_argnames=("struct",))
 _get_packed = _SceneCache(_pack_jit)
 
 
-def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False):
+def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False,
+                 cont_on: bool = False):
     """(extra input specs, extra scratch) shared by every dispatch:
     texture atlas + LUT (+ transposed sphere table, the SMEM umask
-    scratch, and the shadow-union scratch when culling)."""
+    scratch, the shadow-union scratch, and the double-buffered
+    continuation-union scratch when culling)."""
     G = ps.tex_pk.shape[0]
     tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -1940,7 +2043,23 @@ def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False):
         scratch.append(pltpu.SMEM((-(-NSL // 32),), I32))
     if lsort_on:
         scratch.append(pltpu.SMEM((ps.shad_msk.shape[1],), I32))
+    if cont_on:
+        NW_ = -(-ps.bsph_t.shape[2] // 32)
+        scratch.append(pltpu.SMEM((NW_,), I32))
+        scratch.append(pltpu.SMEM((NW_,), I32))
     return specs, scratch
+
+
+def _static_gates(struct: KernelStruct, cfg: TraceConfig,
+                  pt: bool = False):
+    """(cull_on, lsort_on, cont_on) — must mirror _make_kernel."""
+    cull_on = cfg.cull and any(struct.bnd)
+    nreal = sum(g.count for g in struct.groups)
+    lsort_on = (cull_on and cfg.lsort and struct.nl > 0 and not pt
+                and nreal > cfg.unroll)
+    cont_on = (cull_on and cfg.lsort and not pt
+               and not struct.can_push and nreal > cfg.unroll)
+    return cull_on, lsort_on, cont_on
 
 
 def _scene_args(ps: PackedScene, cull_on: bool):
@@ -1962,19 +2081,20 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     sub = cfg.sub
     assert R % sub == 0, f"ray tiles must pad to sub={sub} rows, got {R}"
     grid = R // sub
-    cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
-                and sum(g.count for g in struct.groups) > cfg.unroll)
+    cull_on, lsort_on, cont_on = _static_gates(struct, cfg)
     use_cand = _cand_period(struct, cfg, R, cand_period, sub)
     kern = _make_kernel(struct, cfg, use_cand=use_cand)
     # index_map receives the scalar-prefetch refs after the grid index
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
     npf = 6
     pre = []
     if lsort_on:
         pre.append(ps.shad_msk)
+        npf += 1
+    if cont_on:
+        pre.append(ps.cont_msk)
         npf += 1
     if use_cand:
         tiles7 = (ox, oy, oz, dx, dy, dz, tm)
@@ -2005,20 +2125,21 @@ def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     R = ox.shape[0]
     sub = cfg.sub
     grid = R // sub
-    cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
-                and sum(g.count for g in struct.groups) > cfg.unroll)
+    cull_on, lsort_on, cont_on = _static_gates(struct, cfg)
     use_cand = _cand_period(struct, cfg, R, sub=sub)
     cfgk = cfg._replace(max_segments=k_paths)
     kern = _make_kernel(struct, cfgk, emit_paths=k_paths,
                         use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
     npf = 6
     pre = []
     if lsort_on:
         pre.append(ps.shad_msk)
+        npf += 1
+    if cont_on:
+        pre.append(ps.cont_msk)
         npf += 1
     if use_cand:
         pre.append(_build_candidates(
@@ -2276,18 +2397,19 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     R = ox.shape[0]
     sub = cfg.sub
     grid = R // sub
-    cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
-                and sum(g.count for g in struct.groups) > cfg.unroll)
+    cull_on, lsort_on, cont_on = _static_gates(struct, cfg)
     use_cand = _cand_period(struct, cfg, R, cand_period, sub)
     kern = _make_kernel(struct, cfg, emit_state=True, use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
     npf = 6
     pre = []
     if lsort_on:
         pre.append(ps.shad_msk)
+        npf += 1
+    if cont_on:
+        pre.append(ps.cont_msk)
         npf += 1
     if use_cand:
         pre.append(_build_candidates(
@@ -2324,22 +2446,21 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
     block height: the SAME buffers are just re-tiled into finer blocks,
     giving 64/sub-times finer retirement granularity for the deep tail."""
     R = state[0].shape[0]
-    cull_on = cfg.cull and any(struct.bnd)
-    lsort_on = (cull_on and cfg.lsort and struct.nl > 0
-                and sum(g.count for g in struct.groups) > cfg.unroll)
+    cull_on, lsort_on, cont_on = _static_gates(struct, cfg)
     kern = _make_kernel(struct, cfg, resume=True)
     # blist is always the LAST scalar-prefetch operand
     ray_spec = pl.BlockSpec(
         (sub, LANES),
         lambda i, *pf: (pf[-1][i], 0),
         memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
     # input order must match kernel signature: 7 primary tiles, tex, lut
     # (+ sphere table), then the 14 resume tiles; blist rides as the 7th
     # prefetch operand
     ins = state[:7] + _scene_args(ps, cull_on) + state[7:]
-    pre = (ps.shad_msk,) if lsort_on else ()
+    pre = ((ps.shad_msk,) if lsort_on else ()) + (
+        (ps.cont_msk,) if cont_on else ())
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7 + len(pre),
         grid=(n_blocks,),
