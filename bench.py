@@ -85,12 +85,14 @@ def bench_scene(name, cfg):
 
     @partial(jax.jit, static_argnames=("k",))
     def make_tiles(cam, k, salt):
-        # the salt nudges the camera by ~1e-6 so every repetition's rays
+        # the salt nudges the camera by ~1e-4 so every repetition's rays
         # (and results) differ in value: the axon runtime memoizes
         # repeat executions by VALUE, so equal-input timing loops would
         # measure the cache, not the chip (round-5 finding; the round-4
-        # fresh-buffer trick no longer defeats it)
-        cam = (cam[0] + salt * 1e-6,) + cam[1:]
+        # fresh-buffer trick no longer defeats it). 1e-4 and not 1e-6:
+        # the nudge must survive f32 rounding against camera
+        # coordinates as large as 16 (eps(16) = 1.9e-6)
+        cam = (cam[0] + salt * 1e-4,) + cam[1:]
         # screen-tile ray order: the product layout (_render_impl)
         tiles = camera_rays_tiles2d(*cam, WIDTH, HEIGHT, FSAA,
                                     cfg.sub * 128)
@@ -141,9 +143,14 @@ def bench_scene(name, cfg):
 def bench_train():
     """Inverse-rendering train step (BASELINE.json config 5) on the one
     chip: fwd (Pallas path emit) + differentiable trace-replay bwd +
-    adam update on the test01 recovery task (parallel/train.py
-    make_train_step_fast). Steps mutate the params each iteration, so
-    every timed call executes (memoization-proof by construction).
+    adam update on the test01 recovery task. The whole S-step loop runs
+    in ONE executable (parallel/train.py make_train_scan_fast, the jit'd
+    training loop every production JAX setup uses) so the axon tunnel's
+    per-dispatch latency is paid once per S steps, not twice per step.
+    Params mutate every step inside the scan, and each timed call feeds
+    the previous call's params forward, so every call executes
+    (memoization-proof by construction). Reported ms/step is the
+    marginal (t(12) - t(2)) / 10 — pure per-step device cost.
     Returns (ms_per_step, fwd_bwd_rays_per_s)."""
     import jax
     import jax.numpy as jnp
@@ -151,7 +158,7 @@ def bench_train():
     from quadray_tpu.scene import schema as S
     from quadray_tpu.scene.compile import compile_scene
     from quadray_tpu.parallel.mesh import ray_mesh
-    from quadray_tpu.parallel.train import (make_train_step_fast,
+    from quadray_tpu.parallel.train import (make_train_scan_fast,
                                             extract_params)
     from quadray_tpu.ops.trace import TraceConfig
 
@@ -160,31 +167,29 @@ def bench_train():
     sc = compile_scene(S.SceneDef(root=sd.root, opts=S.OPTS_FULL & ~sd.opts))
     mesh = ray_mesh(jax.devices()[:1])
     cfg = TraceConfig(max_segments=8, stack=4)
-    step_fn, opt_init = make_train_step_fast(mesh, sc, W, H, cfg=cfg)
+    run_fn, opt_init = make_train_scan_fast(mesh, sc, W, H, cfg=cfg)
     params = extract_params(sc)
     opt_state = opt_init(params)
     target = jnp.zeros((W * H, 3), jnp.float32)
-    # warm (compile)
-    params, opt_state, loss = step_fn(params, opt_state, sc, target)
-    float(loss)
+    # warm (compile) both step counts
+    params, opt_state, losses = run_fn(params, opt_state, sc, target, 2)
+    float(losses[-1])
+    params, opt_state, losses = run_fn(params, opt_state, sc, target, 12)
+    float(losses[-1])
 
-    # steady-state marginal: steps pipeline (params feed forward, so
-    # every step really executes); syncing once at the end lets the
-    # per-call host->device dispatch (measured up to ~27 ms through the
-    # axon tunnel) overlap with device compute, exactly as a real
-    # training loop runs
-    def run(nsteps):
+    def timed(nsteps):
         nonlocal params, opt_state
-        t0 = time.perf_counter()
-        loss = None
-        for _ in range(nsteps):
-            params, opt_state, loss = step_fn(params, opt_state, sc,
-                                              target)
-        float(loss)
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, losses = run_fn(params, opt_state, sc,
+                                               target, nsteps)
+            float(losses[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t_small = min(run(2) for _ in range(2))
-    t_big = min(run(12) for _ in range(2))
+    t_small = timed(2)
+    t_big = timed(12)
     dt = (t_big - t_small) / 10
     if not (0.0 < dt < t_big):
         dt = t_big / 12

@@ -459,6 +459,17 @@ def _root(num, den):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), BIG), ok
 
 
+def _n_chunks(struct: KernelStruct, cfg: TraceConfig) -> int:
+    """Number of two-tier guard chunks per block (1 = single-tier).
+    Mirrors the kernel's per_row gate: fine-grained guards only pay on
+    many-surface scenes, and chunk must evenly split the block."""
+    nreal = sum(g.count for g in struct.groups)
+    if (cfg.cull and cfg.chunk > 0 and nreal > cfg.unroll
+            and cfg.sub % cfg.chunk == 0 and cfg.sub // cfg.chunk > 1):
+        return cfg.sub // cfg.chunk
+    return 1
+
+
 def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                  emit_state: bool = False, resume: bool = False,
                  emit_paths: int = 0, pt: bool = False,
@@ -526,6 +537,12 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
     # stacks and PT sibling stacks pop rays from OLDER segments)
     cont_on = (cull_on and cfg.lsort and not pt
                and not struct.can_push and nreal_ls > cfg.unroll)
+    # two-tier chunk guards (see TraceConfig.chunk): NCH sub-blocks of
+    # CH sublane rows each get their own reach bitmask. Resume kernels
+    # can run on re-tiled blocks whose height differs from cfg.sub, so
+    # they stay single-tier
+    NCH = 1 if resume else _n_chunks(struct, cfg)
+    CH = cfg.sub // NCH
     assert not (use_cand and resume)
 
     def mats_with(bit):
@@ -629,7 +646,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
         if cont_on:
             # the first nearest pass has no originator info: it swaps
             # in this all-ones buffer and accumulates the real union
-            for w_ in range(NW):
+            for w_ in range(NCH * NW):
                 rfn_s[w_] = -1
 
         def clipentry(s, j):
@@ -688,7 +705,14 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             return vm != 0
 
         # ---- per-class surface bodies --------------------------------
-        def make_body(grp: Group, shadow, rays):
+        def make_body(grp: Group, shadow, rays, part=None):
+            """part=None: full-block body. part=ci: the body operates on
+            chunk ci's (CH, 128) row slice only — same math, same
+            commit semantics, an exact row-subset of the full body."""
+            sl = slice(None) if part is None else \
+                slice(part * CH, (part + 1) * CH)
+            if part is not None:
+                rays = tuple(a[sl] for a in rays)
             (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
              olx, oly, olz, wmask) = rays
 
@@ -715,8 +739,8 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     ORIGINAL surface id so the class permutation is
                     invisible (matches the jnp path's argmin order)."""
                     t = jnp.where(v, t, BIG)
-                    bt = t_s[:]
-                    bsrf = srf_s[:]
+                    bt = t_s[sl]
+                    bsrf = srf_s[sl]
                     # (t < BIG) keeps misses (t == bt == BIG) from
                     # overwriting the stored best hit
                     better = (t < BIG) & (
@@ -725,14 +749,24 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     # the 13-tile masked store only runs when some lane
                     # actually improves — surfaces that pass the reach
                     # guard but lose everywhere skip ~2/3 of their cost
+                    # chunks whose union the commit folds into: the
+                    # chunk being processed, or every chunk for the
+                    # full-block body
+                    cis = range(NCH) if part is None else (part,)
+
                     @pl.when(jnp.any(better))
                     def _():
                         if lsort_on:
                             # fold this receiver's per-light blocker
-                            # masks into the block union (consumed by
+                            # masks into the chunk unions (consumed by
                             # the shadow passes of this segment)
-                            for i_ in range(NL * NW):
-                                shu_s[i_] = shu_s[i_] | shad_ref[s, i_]
+                            for l_ in range(NL):
+                                for ci_ in cis:
+                                    for w_ in range(NW):
+                                        i_ = (l_ * NCH + ci_) * NW + w_
+                                        shu_s[i_] = (shu_s[i_]
+                                                     | shad_ref[
+                                                         s, l_ * NW + w_])
                         if cont_on and not shadow:
                             # fold this surface's per-side continuation
                             # masks into the NEXT segment's union
@@ -741,34 +775,39 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
 
                             @pl.when(any_o)
                             def _():
-                                for w_ in range(NW):
-                                    rfn_s[w_] = (rfn_s[w_]
-                                                 | cont_ref[s, w_])
+                                for ci_ in cis:
+                                    for w_ in range(NW):
+                                        i_ = ci_ * NW + w_
+                                        rfn_s[i_] = (rfn_s[i_]
+                                                     | cont_ref[s, w_])
 
                             @pl.when(any_i)
                             def _():
-                                for w_ in range(NW):
-                                    rfn_s[w_] = (rfn_s[w_]
-                                                 | cont_ref[s, NW + w_])
+                                for ci_ in cis:
+                                    for w_ in range(NW):
+                                        i_ = ci_ * NW + w_
+                                        rfn_s[i_] = (rfn_s[i_]
+                                                     | cont_ref[s,
+                                                                NW + w_])
                         midx = jnp.where(side > 0, sp_i[s, SI_MO],
                                          sp_i[s, SI_MI])
-                        sel = lambda a_, r_: jnp.where(better, a_, r_[:])
-                        t_s[:] = jnp.where(better, t, bt)
-                        srf_s[:] = jnp.where(better, origid, bsrf)
-                        side_s[:] = sel(side, side_s)
-                        hwx_s[:] = sel(wx, hwx_s)
-                        hwy_s[:] = sel(wy, hwy_s)
-                        hwz_s[:] = sel(wz, hwz_s)
-                        hnx_s[:] = sel(nx, hnx_s)
-                        hny_s[:] = sel(ny, hny_s)
-                        hnz_s[:] = sel(nz, hnz_s)
-                        mat_s[:] = sel(midx, mat_s)
+                        sel = lambda a_, r_: jnp.where(better, a_, r_[sl])
+                        t_s[sl] = jnp.where(better, t, bt)
+                        srf_s[sl] = jnp.where(better, origid, bsrf)
+                        side_s[sl] = sel(side, side_s)
+                        hwx_s[sl] = sel(wx, hwx_s)
+                        hwy_s[sl] = sel(wy, hwy_s)
+                        hwz_s[sl] = sel(wz, hwz_s)
+                        hnx_s[sl] = sel(nx, hnx_s)
+                        hny_s[sl] = sel(ny, hny_s)
+                        hnz_s[sl] = sel(nz, hnz_s)
+                        mat_s[sl] = sel(midx, mat_s)
                         # local hit rides along: texture UV + the
                         # origin_loc of any continuation ray
                         # (local-diff reuse)
-                        hlx_s[:] = sel(hx, hlx_s)
-                        hly_s[:] = sel(hy, hly_s)
-                        hlz_s[:] = sel(hz, hlz_s)
+                        hlx_s[sl] = sel(hx, hlx_s)
+                        hly_s[sl] = sel(hy, hly_s)
+                        hlz_s[sl] = sel(hz, hlz_s)
 
                 if grp.is_plane:
                     # plane root + ray-sign side (tracer.cpp:4062-4210)
@@ -803,7 +842,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                         souter = side > 0
                         blocks = ((souter & ((blk & 1) != 0))
                                   | (~souter & ((blk & 2) != 0)))
-                        occ_s[:] = occ_s[:] | (v & blocks).astype(I32)
+                        occ_s[sl] = occ_s[sl] | (v & blocks).astype(I32)
                         return
                     # plane world normal = third row of inv, side-flipped
                     sf = side.astype(F32)
@@ -930,9 +969,9 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
 
                 if shadow:
                     blk = sp_i[s, SI_BLK]
-                    occ_s[:] = (occ_s[:]
-                                | (va & ((blk & 1) != 0)).astype(I32)
-                                | (vb & ((blk & 2) != 0)).astype(I32))
+                    occ_s[sl] = (occ_s[sl]
+                                 | (va & ((blk & 1) != 0)).astype(I32)
+                                 | (vb & ((blk & 2) != 0)).astype(I32))
                     return
 
                 # per-surface nearest valid root, then one masked update
@@ -975,7 +1014,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
             guard_on = cull_on and not cand_mode
             if cont_on and not shadow:
                 # consume the previous segment's union; start the next
-                for w_ in range(NW):
+                for w_ in range(NCH * NW):
                     rfc_s[w_] = rfn_s[w_]
                     rfn_s[w_] = 0
             if guard_on:
@@ -1092,8 +1131,7 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     # (axial, radial) plane; negative = inside cone
                     e = perp * cosw - d_ax * sinw
                     reach_rows = ~(e > srs + r0)
-                reach = jnp.max((reach_rows & row_act).astype(I32),
-                                axis=0, keepdims=True)     # (1, NSL)
+                act_reach = reach_rows & row_act           # (S, NSL)
                 # pack reach bits into NW 32-bit SMEM words; shadow
                 # passes AND in the static per-light blocker union
                 # accumulated by this segment's nearest-pass commits
@@ -1101,14 +1139,46 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     I32, (1, NSL), 1) // 32
                 b_of = jax.lax.broadcasted_iota(
                     I32, (1, NSL), 1) % 32
-                val = reach << b_of
-                for w in range(NW):
-                    word = jnp.sum(jnp.where(w_of == w, val, 0))
-                    if lsort_on and shadow:
-                        word = word & shu_s[light * NW + w]
-                    if cont_on and not shadow:
-                        word = word & rfc_s[w]
-                    umask_s[w] = word
+                if NCH > 1:
+                    # two-tier: per-CHUNK words at [(1+ci)*NW], the OR
+                    # (any) at [0] driving the outer skip, the AND (all)
+                    # at [(1+NCH)*NW] driving the full-block fast path
+                    cvals = []
+                    for ci in range(NCH):
+                        r_c = jnp.max(
+                            act_reach[ci * CH:(ci + 1) * CH].astype(I32),
+                            axis=0, keepdims=True)         # (1, NSL)
+                        cvals.append(r_c << b_of)
+                    for w in range(NW):
+                        sel = w_of == w
+                        words = []
+                        for ci in range(NCH):
+                            word = jnp.sum(jnp.where(sel, cvals[ci], 0))
+                            if lsort_on and shadow:
+                                word = word & shu_s[
+                                    (light * NCH + ci) * NW + w]
+                            if cont_on and not shadow:
+                                word = word & rfc_s[ci * NW + w]
+                            umask_s[(1 + ci) * NW + w] = word
+                            words.append(word)
+                        anyw = words[0]
+                        allw = words[0]
+                        for word in words[1:]:
+                            anyw = anyw | word
+                            allw = allw & word
+                        umask_s[w] = anyw
+                        umask_s[(1 + NCH) * NW + w] = allw
+                else:
+                    reach = jnp.max(act_reach.astype(I32),
+                                    axis=0, keepdims=True)  # (1, NSL)
+                    val = reach << b_of
+                    for w in range(NW):
+                        word = jnp.sum(jnp.where(w_of == w, val, 0))
+                        if lsort_on and shadow:
+                            word = word & shu_s[light * NW + w]
+                        if cont_on and not shadow:
+                            word = word & rfc_s[w]
+                        umask_s[w] = word
 
             rays = (ox, oy, oz, dx, dy, dz, tmn, tmx, osrf, oside, thru,
                     olx, oly, olz, wmask)
@@ -1125,12 +1195,21 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                     r_[:] = zs
                 mat_s[:] = zis
                 if lsort_on:
-                    for i_ in range(NL * NW):
+                    for i_ in range(NL * NCH * NW):
                         shu_s[i_] = 0
 
             def bit_ok(s):
                 return ((umask_s[s // 32] >> (s % 32)) & 1) != 0
 
+            def bit_all(s):
+                return ((umask_s[(1 + NCH) * NW + s // 32]
+                         >> (s % 32)) & 1) != 0
+
+            def bit_chunk(ci, s):
+                return ((umask_s[(1 + ci) * NW + s // 32]
+                         >> (s % 32)) & 1) != 0
+
+            two_tier = guard_on and NCH > 1
             if cand_mode:
                 ib = pl.program_id(0) % use_cand
             for gi, grp in enumerate(struct.groups):
@@ -1138,6 +1217,26 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 if n == 0:
                     continue
                 body = make_body(grp, shadow, rays)
+                if two_tier:
+                    # second tier: a surface reachable by EVERY chunk
+                    # takes the one full-block body; otherwise only the
+                    # reaching chunks' (CH, 128) bodies run
+                    bodies_c = [make_body(grp, shadow, rays, part=ci)
+                                for ci in range(NCH)]
+
+                    def guarded(s, body=body, bodies_c=bodies_c):
+                        @pl.when(bit_all(s))
+                        def _():
+                            body(s)
+
+                        @pl.when(~bit_all(s))
+                        def _():
+                            for ci in range(NCH):
+                                pl.when(bit_chunk(ci, s))(
+                                    lambda ci=ci: bodies_c[ci](s))
+                else:
+                    def guarded(s, body=body):
+                        body(s)
                 if cand_mode:
                     lo = cand_ref[ib, gi]
                     hi = cand_ref[ib, gi + 1]
@@ -1149,10 +1248,10 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                 elif guard_on:
                     if n <= cfg.unroll:
                         for s in range(grp.start, grp.start + n):
-                            pl.when(bit_ok(s))(lambda s=s: body(s))
+                            pl.when(bit_ok(s))(lambda s=s: guarded(s))
                     else:
-                        def loop_body(s, c, body=body):
-                            pl.when(bit_ok(s))(lambda: body(s))
+                        def loop_body(s, c, guarded=guarded):
+                            pl.when(bit_ok(s))(lambda: guarded(s))
                             return c
                         jax.lax.fori_loop(grp.start, grp.start + n,
                                           loop_body, 0)
@@ -2023,11 +2122,12 @@ _get_packed = _SceneCache(_pack_jit)
 
 
 def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False,
-                 cont_on: bool = False):
+                 cont_on: bool = False, chunks: int = 1):
     """(extra input specs, extra scratch) shared by every dispatch:
     texture atlas + LUT (+ transposed sphere table, the SMEM umask
     scratch, the shadow-union scratch, and the double-buffered
-    continuation-union scratch when culling)."""
+    continuation-union scratch when culling). ``chunks`` = _n_chunks:
+    the two-tier guard multiplies the umask / union scratch widths."""
     G = ps.tex_pk.shape[0]
     tex_spec = pl.BlockSpec((G, LANES), lambda i, *_: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -2040,13 +2140,15 @@ def _scene_specs(ps: PackedScene, cull_on: bool, lsort_on: bool = False,
         specs.append(pl.BlockSpec((4, 1, NSL),
                                   lambda i, *_: (0, 0, 0),
                                   memory_space=pltpu.VMEM))
-        scratch.append(pltpu.SMEM((-(-NSL // 32),), I32))
+        nw = -(-NSL // 32)
+        usz = (2 + chunks) * nw if chunks > 1 else nw
+        scratch.append(pltpu.SMEM((usz,), I32))
     if lsort_on:
-        scratch.append(pltpu.SMEM((ps.shad_msk.shape[1],), I32))
+        scratch.append(pltpu.SMEM((ps.shad_msk.shape[1] * chunks,), I32))
     if cont_on:
         NW_ = -(-ps.bsph_t.shape[2] // 32)
-        scratch.append(pltpu.SMEM((NW_,), I32))
-        scratch.append(pltpu.SMEM((NW_,), I32))
+        scratch.append(pltpu.SMEM((chunks * NW_,), I32))
+        scratch.append(pltpu.SMEM((chunks * NW_,), I32))
     return specs, scratch
 
 
@@ -2087,7 +2189,8 @@ def _trace_tiled(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     # index_map receives the scalar-prefetch refs after the grid index
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on,
+                                    _n_chunks(struct, cfg))
     npf = 6
     pre = []
     if lsort_on:
@@ -2132,7 +2235,8 @@ def _trace_tiled_paths(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
                         use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on,
+                                    _n_chunks(struct, cfg))
     npf = 6
     pre = []
     if lsort_on:
@@ -2191,7 +2295,8 @@ def _trace_tiled_pt(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm, sd,
     kern = _make_kernel(struct, cfg, pt=True, use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on,
+                                        chunks=_n_chunks(struct, cfg))
     npf = 6
     pre = []
     if use_cand:
@@ -2402,7 +2507,8 @@ def _trace_tiled_emit(ps: PackedScene, ox, oy, oz, dx, dy, dz, tm,
     kern = _make_kernel(struct, cfg, emit_state=True, use_cand=use_cand)
     ray_spec = pl.BlockSpec((sub, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
+    sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on,
+                                    _n_chunks(struct, cfg))
     npf = 6
     pre = []
     if lsort_on:
@@ -2453,6 +2559,7 @@ def _trace_tiled_resume(ps: PackedScene, state, blist, n_blocks,
         (sub, LANES),
         lambda i, *pf: (pf[-1][i], 0),
         memory_space=pltpu.VMEM)
+    # resume kernels are single-tier (see _make_kernel): chunks=1
     sc_specs, sc_scratch = _scene_specs(ps, cull_on, lsort_on, cont_on)
     out_shape = [jax.ShapeDtypeStruct((R, LANES), F32)] * 3
     # input order must match kernel signature: 7 primary tiles, tex, lut

@@ -104,12 +104,45 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
     use_fresnel = sc.use_fresnel > 0.0
     amb_r, amb_g, amb_b = sc.amb_col[0], sc.amb_col[1], sc.amb_col[2]
 
+    # float-table row lookup: one-hot CONTRACTION, not take. XLA lowers
+    # the backward of a take into a scatter-add over the table rows,
+    # which TPU executes as a serialized update stream — measured ~80 ms
+    # per step on 384k rays (the entire round-4/5 training cost). The
+    # one-hot contraction's backward is a dense multiply+reduce the VPU
+    # eats in well under a millisecond for the small tables here; it is
+    # O(N * NS) memory, so fall back to take-gathers for very large
+    # scenes (where the emit kernel dominates anyway).
+    def _onehot(idx, nt):
+        """(NT, R, 128) f32 one-hot of idx (R, 128)."""
+        return (idx[None, :, :] == jnp.arange(nt, dtype=I32)
+                [:, None, None]).astype(F32)
+
+    def _rows(tableT, idx, oh=None):
+        """tableT (F, NT); idx (R, 128) -> (F, R, 128) gathered rows."""
+        nt = tableT.shape[1]
+        if nt <= 64:
+            if oh is None:
+                oh = _onehot(idx, nt)
+            return jnp.tensordot(tableT, oh, axes=1)  # (F, R, 128)
+        return tableT[:, idx]
+
+    def _irow(vec_i, idx, oh):
+        """Integer column lookup via the shared one-hot (exact for
+        values < 2^24); falls back to take when one-hot is off."""
+        if oh is None:
+            return vec_i[idx]
+        return jnp.tensordot(vec_i.astype(F32), oh,
+                             axes=1).astype(vec_i.dtype)
+
     orgT = org.T
     dirsT = dirs.T
     ox, oy, oz = (_tile2(orgT[0]), _tile2(orgT[1]),
                   _tile2(orgT[2]))
-    dx, dy, dz = (_tile2(dirsT[0]), _tile2(dirsT[1]),
-                  _tile2(dirsT[2]))
+    # pad lanes get dir (1,1,1), not 0: a zero direction makes every
+    # dot/eta chain degenerate at exactly the values whose gradients
+    # blow up; pad records are 0 (no hit) so the value never matters
+    dx, dy, dz = (_tile2(dirsT[0], 1.0), _tile2(dirsT[1], 1.0),
+                  _tile2(dirsT[2], 1.0))
     one = jnp.ones((R, 128), F32)
     thr_r = thr_g = thr_b = one
     acc_r = acc_g = acc_b = jnp.zeros((R, 128), F32)
@@ -125,11 +158,8 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         hit = ((rec >> 15) & 1) != 0
         hitf = hit.astype(F32)
 
-        # transposed-table row gathers (one (19, R, 128) take instead
-        # of one-hot matmuls): leading table axis keeps each gathered
-        # component a dense (R, 128) tile; backward is a segment-sum
-        # scatter-add XLA handles natively
-        P = stabT[:, srf]                                # (19, R, 128)
+        ohS = _onehot(srf, NS) if NS <= 64 else None
+        P = _rows(stabT, srf, ohS)                       # (19, R, 128)
         px, py, pz = P[0], P[1], P[2]
         (i00, i01, i02, i10, i11, i12, i20, i21, i22) = (
             P[3], P[4], P[5], P[6], P[7], P[8],
@@ -146,7 +176,7 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         ey = i10 * dx + i11 * dy + i12 * dz
         ez = i20 * dx + i21 * dy + i22 * dz
 
-        skind = kind_t[srf]
+        skind = _irow(kind_t, srf, ohS)
         is_pl = skind == 1
         is_tp = skind == 3
 
@@ -194,12 +224,14 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
                                        1e-30))
         nx, ny, nz = nx * nn, ny * nn, nz * nn
 
-        midx = jnp.where(sidep, mat_t[:, 0][srf], mat_t[:, 1][srf])
-        M = mtabT[:, midx]                                # (10, R, 128)
+        midx = jnp.where(sidep, _irow(mat_t[:, 0], srf, ohS),
+                         _irow(mat_t[:, 1], srf, ohS))
+        ohM = _onehot(midx, NM) if NM <= 64 else None
+        M = _rows(mtabT, midx, ohM)                       # (10, R, 128)
         mc_r, mc_g, mc_b = M[0], M[1], M[2]
         m_dff, m_spc, m_pow = M[3], M[4], M[5]
         m_rfl, m_trn, m_rfr, m_ext = M[6], M[7], M[8], M[9]
-        props = props_t[midx]
+        props = _irow(props_t, midx, ohM)
         bit = lambda p: (props & p) != 0
         gam = bit(PROP_GAMMA) & use_gamma
         mc_r = jnp.where(gam, mc_r * mc_r, mc_r)
@@ -258,7 +290,12 @@ def replay_color(sc: SceneArrays, org, dirs, t_min, paths,
         ksn = 1.0 - eta * eta + (eta * dot) ** 2
         refracts = bit(PROP_REFRACT)
         tir = (ksn < 0.0) & refracts
-        sqk = jnp.sqrt(jnp.maximum(ksn, 0.0))
+        # 1e-20 floor, not 0: for eta == 1 materials ksn == dot^2, which
+        # is EXACTLY 0 on grazing/degenerate lanes — jnp.maximum splits
+        # the gradient at the tie and sqrt'(0) = inf turns it into NaN
+        # that poisons the whole psum'd gradient (round-5 multi-shard
+        # finding); the floor perturbs sqk by <= 1e-10
+        sqk = jnp.sqrt(jnp.maximum(ksn, 1e-20))
         rfx = jnp.where(refracts, eta * rhx - nx * (eta * dot + sqk), rhx)
         rfy = jnp.where(refracts, eta * rhy - ny * (eta * dot + sqk), rhy)
         rfz = jnp.where(refracts, eta * rhz - nz * (eta * dot + sqk), rhz)

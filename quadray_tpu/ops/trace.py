@@ -121,6 +121,18 @@ class TraceConfig(NamedTuple):
     # window. 64 amortizes per-surface scalar work over 8192 rays; 8
     # gives 32x32-px windows (tighter bundles, finer retirement) at 8x
     # the scalar overhead per ray
+    chunk: int = 32          # two-tier guard granularity: the runtime
+    # reach masks are also evaluated per CHUNK of `chunk` sublane rows
+    # (chunk*128 rays); a surface reachable by only SOME chunks runs
+    # its solver on just those row slices — a finer-grained echo of the
+    # reference's 4-16-ray-packet sphere skip (AR_ptr,
+    # tracer.cpp:3953-4056). A surface reachable by ALL chunks takes
+    # the single full-block body (no extra cost on coherent segments).
+    # Measured (r5, NS>=104 scenes): each chunk body re-pays the
+    # per-surface scalar/setup cost, so fine granularity is mostly
+    # self-canceling — chunk=32 (2 halves) wins ~3-8% on test13/demo03,
+    # 16 is neutral, 8 loses. 0, or sub % chunk != 0, disables the
+    # second tier
 
 
 # ---------------------------------------------------------------------------

@@ -129,16 +129,105 @@ def make_train_step_fast(mesh, sc0, width: int, height: int,
         return optax.apply_updates(params, updates), opt_state
 
     def step_fn(params, opt_state, sc, target_flat):
-        # two dispatches by design: fusing the optimizer update into the
-        # grad jit makes the axon runtime ~60x slower per step (optimizer
-        # state consuming the gradient tree inside one executable —
-        # 22 s/step vs 0.37; measured round 4), and the update math is
-        # trivial anyway
+        # single-step API (tests, interactive use). For throughput use
+        # make_train_scan_fast: S steps inside one executable — each
+        # separate dispatch here pays a host->device round trip that
+        # through this environment's axon tunnel costs more than the
+        # step's ~10 ms of device compute
         loss, grads = grad_fn(params, sc, target_flat)
         params, opt_state = update_fn(grads, opt_state, params)
         return params, opt_state, loss
 
     return step_fn, opt.init
+
+
+def make_train_scan_fast(mesh, sc0, width: int, height: int,
+                         cfg: TraceConfig = TraceConfig(max_segments=8,
+                                                        stack=4),
+                         fsaa: int = 1, lr: float = 1e-2,
+                         fields=DIFFERENTIABLE_FIELDS, k_paths: int = 8,
+                         interpret: bool = False):
+    """Multi-step trace-replay training: S adam steps inside ONE
+    executable via ``lax.scan`` (the standard JAX training-loop idiom —
+    jit the whole update loop, not one step).
+
+    The per-step device cost of the fast path is ~0.3 ms (path-record
+    emit 0.1 + differentiable replay fwd+bwd 0.2, measured round 5);
+    dispatching each step separately costs 2 host->device round trips,
+    which through this environment's axon tunnel is 40+ ms of pure
+    latency per call — 250x the compute. Scanning S steps in one
+    dispatch amortizes it away, exactly as a production training loop
+    (jit'd epoch) would. Returns run_fn(params, opt_state, sc, target,
+    steps) -> (params, opt_state, losses[steps]); ``steps`` is static.
+    """
+    import quadray_tpu.ops.pallas_kernel as pk
+    from quadray_tpu.ops.replay import replay_color
+
+    struct = pk._get_struct(sc0)
+    assert not struct.can_push, \
+        "trace-replay training requires a single-branch scene"
+    opt = optax.adam(lr)
+    spec_r = P(RAY_AXIS)
+    nd = mesh.devices.size
+
+    def loss_fast(params, sc_rep, org, dirs_blk, t_min, target_blk,
+                  w_blk):
+        sc2 = sc_rep.replace(**params)
+        sc_det = jax.tree_util.tree_map(jax.lax.stop_gradient, sc2)
+        _, paths = pk.trace_paths_with_struct(
+            sc_det, struct, jax.lax.stop_gradient(org), dirs_blk, t_min,
+            cfg, k_paths, interpret)
+        paths = jax.lax.stop_gradient(paths)
+        cols = replay_color(sc2, org, dirs_blk, t_min, paths, cfg)
+        cols = jnp.clip(cols, 0.0, 1.0)
+        err = jnp.sum(((cols - target_blk) ** 2) * w_blk[:, None])
+        return err / jnp.maximum(jnp.sum(w_blk) * 3.0, 1.0)
+
+    def local_scan(params, opt_state, sc_rep, dirs_blk, target_blk,
+                   w_blk, steps):
+        org = jnp.broadcast_to(sc_rep.cam_pos[None, :],
+                               (dirs_blk.shape[0], 3))
+        t_min = jnp.full((dirs_blk.shape[0],), sc_rep.cam_pov, F32)
+
+        def one_step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fast)(
+                params, sc_rep, org, dirs_blk, t_min, target_blk, w_blk)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, RAY_AXIS), grads)
+            loss = jax.lax.pmean(loss, RAY_AXIS)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=steps)
+        return params, opt_state, losses
+
+    @partial(jax.jit, static_argnames=("steps",))
+    def run_fn(params, opt_state, sc, target_flat, steps):
+        scene_specs = jax.tree_util.tree_map(lambda _: P(), sc)
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        opt_specs = jax.tree_util.tree_map(lambda _: P(), opt_state)
+        sharded = shard_map(
+            partial(local_scan, steps=steps), mesh=mesh,
+            in_specs=(param_specs, opt_specs, scene_specs, spec_r,
+                      spec_r, spec_r),
+            out_specs=(param_specs, opt_specs, P()), check_vma=False)
+        org1, dirs = camera_rays(sc.cam_pos, sc.cam_hor, sc.cam_ver,
+                                 sc.cam_nrm, sc.cam_pov, width, height,
+                                 fsaa)
+        n = dirs.shape[0]
+        npad = pad_to(n, nd)
+        tgt = target_flat
+        w = jnp.ones((npad,), F32)
+        if npad != n:
+            dirs = jnp.concatenate([dirs, jnp.ones((npad - n, 3), F32)], 0)
+            tgt = jnp.concatenate([tgt, jnp.zeros((npad - n, 3), F32)], 0)
+            w = w.at[n:].set(0.0)
+        return sharded(params, opt_state, sc, dirs, tgt, w)
+
+    return run_fn, opt.init
 
 
 def make_train_step(mesh, width: int, height: int,

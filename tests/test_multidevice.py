@@ -149,6 +149,31 @@ def test_train_step_fast_device_count_invariant(sc):
                                    err_msg=k)
 
 
+def test_train_step_fast_sharded_grads_finite(sc):
+    """Two consecutive fast steps on the 8-device mesh with ray counts
+    that do NOT fill the per-shard replay tiles: the zero-padded lanes
+    once produced an exact eta==1, dot==0 Fresnel configuration whose
+    sqrt-at-zero gradient was NaN and, after the pmean all-reduce,
+    poisoned every parameter (round-5 regression)."""
+    _need8()
+    from quadray_tpu.parallel.train import (make_train_step_fast,
+                                            extract_params)
+
+    w, h = 32, 16
+    cfg = CFG._replace(max_segments=4, stack=2, sub=8)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+    step, opt_init = make_train_step_fast(
+        ray_mesh(jax.devices()[:8]), sc, w, h, cfg=cfg, k_paths=4,
+        interpret=True)
+    params = extract_params(sc)
+    opt_state = opt_init(params)
+    for _ in range(2):
+        params, opt_state, loss = step(params, opt_state, sc, target)
+        assert np.isfinite(float(loss))
+    for k, v in params.items():
+        assert np.all(np.isfinite(np.asarray(v))), k
+
+
 def test_scaling_report_harness(sc):
     """Smoke the scaling-efficiency harness on the CPU mesh (the >=85%
     north-star gate applies on real multi-chip hardware; here we only

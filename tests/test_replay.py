@@ -117,3 +117,38 @@ def test_train_step_fast_reduces_loss():
         params, opt_state, loss = step_fn(params, opt_state, sc_p, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_scan_fast_matches_step_fast():
+    """The one-executable S-step scan (make_train_scan_fast) computes
+    the same optimization trajectory as S calls of the per-step path
+    (same math, same order — only the dispatch granularity differs)."""
+    from quadray_tpu.parallel.mesh import ray_mesh
+    from quadray_tpu.parallel.train import (
+        make_train_scan_fast, make_train_step_fast, extract_params)
+    from quadray_tpu.ops.trace import render as render_jnp
+    sc, _, _, _ = _setup("test01")
+    W, H = 48, 32
+    target = jnp.clip(render_jnp(sc, W, H, 1, CFG), 0.0, 1.0
+                      ).reshape(-1, 3)
+    mesh = ray_mesh(jax.devices()[:1])
+    cfg = TraceConfig(max_segments=4, stack=4)
+    kw = dict(cfg=cfg, lr=5e-3, k_paths=4, interpret=True)
+    step_fn, opt_init = make_train_step_fast(mesh, sc, W, H, **kw)
+    run_fn, _ = make_train_scan_fast(mesh, sc, W, H, **kw)
+    sc_p = sc.replace(s_pos=sc.s_pos + 0.05)
+    params0 = extract_params(sc_p)
+
+    p1, o1 = params0, opt_init(params0)
+    losses_ref = []
+    for _ in range(3):
+        p1, o1, loss = step_fn(p1, o1, sc_p, target)
+        losses_ref.append(float(loss))
+
+    p2, o2, losses = run_fn(params0, opt_init(params0), sc_p, target, 3)
+    np.testing.assert_allclose(np.asarray(losses), losses_ref,
+                               rtol=2e-5, atol=1e-7)
+    for kparam in p1:
+        np.testing.assert_allclose(np.asarray(p2[kparam]),
+                                   np.asarray(p1[kparam]),
+                                   rtol=2e-4, atol=1e-6)
