@@ -1250,11 +1250,24 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                         for s in range(grp.start, grp.start + n):
                             pl.when(bit_ok(s))(lambda s=s: guarded(s))
                     else:
-                        def loop_body(s, c, guarded=guarded):
-                            pl.when(bit_ok(s))(lambda: guarded(s))
-                            return c
-                        jax.lax.fori_loop(grp.start, grp.start + n,
-                                          loop_body, 0)
+                        # word-skip scan: 32 surfaces per zero umask
+                        # word cost ONE scalar test (deep-tail segments
+                        # have mostly-zero words); non-zero words test
+                        # bits from the loaded word, not SMEM reloads
+                        for w in range(grp.start // 32,
+                                       -(-(grp.start + n) // 32)):
+                            b_lo = max(grp.start - w * 32, 0)
+                            b_hi = min(grp.start + n - w * 32, 32)
+                            word = umask_s[w]
+
+                            @pl.when(word != 0)
+                            def _(w=w, b_lo=b_lo, b_hi=b_hi, word=word):
+                                def bit_body(b, c, w=w, word=word):
+                                    pl.when(((word >> b) & 1) != 0)(
+                                        lambda: guarded(w * 32 + b))
+                                    return c
+                                jax.lax.fori_loop(b_lo, b_hi, bit_body,
+                                                  0)
                 elif n <= cfg.unroll:
                     # unroll: constant surface indices make every sp_f/sp_i
                     # access a static SMEM offset Mosaic can hoist out of
