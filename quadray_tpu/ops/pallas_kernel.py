@@ -1253,14 +1253,28 @@ def _make_kernel(struct: KernelStruct, cfg: TraceConfig,
                         # word-skip scan: 32 surfaces per zero umask
                         # word cost ONE scalar test (deep-tail segments
                         # have mostly-zero words); non-zero words test
-                        # bits from the loaded word, not SMEM reloads
+                        # bits from the loaded word, not SMEM reloads.
+                        # Shadow passes add the reference's full-mask
+                        # early-out (CHECK_MASK(OO_out, FULL),
+                        # tracer.cpp:575-588): once every lane needing
+                        # the test is occluded, the rest of the blocker
+                        # list is skipped — occ is saturated, so this
+                        # cannot change the result
+                        if shadow:
+                            # evaluated once per blocker group: at 8k
+                            # lanes full occlusion is rare, so the
+                            # reduce is hoisted out of the word loop
+                            any_open = jnp.any(wmask & (occ_s[:] == 0))
                         for w in range(grp.start // 32,
                                        -(-(grp.start + n) // 32)):
                             b_lo = max(grp.start - w * 32, 0)
                             b_hi = min(grp.start + n - w * 32, 32)
                             word = umask_s[w]
+                            go = word != 0
+                            if shadow:
+                                go = go & any_open
 
-                            @pl.when(word != 0)
+                            @pl.when(go)
                             def _(w=w, b_lo=b_lo, b_hi=b_hi, word=word):
                                 def bit_body(b, c, w=w, word=word):
                                     pl.when(((word >> b) & 1) != 0)(
